@@ -1,0 +1,16 @@
+"""Test harness config: run everything on CPU with 8 virtual devices so the
+multi-chip SPMD paths are exercised without TPU hardware (substitutes for the
+reference's missing fake backend, SURVEY.md section 4)."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", False)
