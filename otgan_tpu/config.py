@@ -1,0 +1,94 @@
+"""Typed training configuration, preserving every reference CLI flag.
+
+The reference's argparse surface (``train.py:14-33``, 18 flags) maps 1:1
+onto this dataclass; TPU-specific knobs are additive. ``nr_gpu`` becomes
+``num_devices`` (mesh size); ``batch_size`` here is the GLOBAL batch
+(reference global batch = ``batch_size * nr_gpu``, ``train.py:159``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    # ---- reference flags (train.py:14-33) ----
+    seed: int = 1
+    batch_size: int = 256  # GLOBAL batch (reference: 625/gpu * 8 = 5000)
+    learning_rate_disc: float = 3e-4
+    learning_rate_gen: float = 3e-4
+    data_dir: str = "/tmp/data"
+    save_dir: str = "/tmp/otgan_tpu"
+    optimizer: str = "adam"  # adam | adamax | nesterov
+    nonlinearity: str = "crelu"  # crelu | celu | relu | elu
+    num_devices: int = 0  # 0 = all available (replaces --nr_gpu)
+    nr_gen_per_disc: int = 5
+    sinkhorn_lambda: float = 500.0
+    nr_sinkhorn_iter: int = 500
+    single_batch: bool = False
+    train_disc_against_ema: bool = False
+    model: str = "dcgan"  # dcgan | densenet | toy_mlp
+    load_params: bool = False
+    model_name: str = ""  # checkpoint path override; "" = latest in save_dir
+    no_sinkhorn: bool = False
+    # ---- training-loop knobs with reference defaults ----
+    ema_decay: float = 0.999  # train.py:63
+    adam_mom1: float = 0.5  # train.py:142
+    adam_mom2: float = 0.999
+    max_epochs: int = 1000000  # train.py:196
+    eval_every_epochs: int = 100  # inception cadence, train.py:245
+    save_every_epochs: int = 200  # checkpoint cadence, train.py:275
+    inception_samples: int = 50000  # train.py:183
+    inception_splits: int = 10
+    # ---- densenet options (models/densenet.py:7) ----
+    layers_per_block: int = 16
+    filters_per_layer: int = 16
+    # ---- TPU-native additions ----
+    # True: real data-dependent weight-norm init (the reference's intent,
+    # utils/nn.py:103-162). False: the reference's *shipped* behavior
+    # (g=1, b=0; its init-pass assigns never run, SURVEY.md 3.1 step 8).
+    # The toy pipeline uses plain init (notebook xavier), see engine.
+    data_dependent_init: bool = True
+    use_pallas: bool = True  # fused Sinkhorn kernel when matrices fit VMEM
+    remat: bool = False  # jax.checkpoint over model blocks
+    profile_dir: str = ""  # non-empty: write jax.profiler traces here
+    log_every_steps: int = 0  # 0 = log per epoch only (reference behavior)
+
+    def model_opts(self) -> dict:
+        if self.model == "densenet":
+            return {
+                "layers_per_block": self.layers_per_block,
+                "filters_per_layer": self.filters_per_layer,
+                "nonlinearity": self.nonlinearity,
+                "remat": self.remat,
+            }
+        return {"nonlinearity": self.nonlinearity, "remat": self.remat}
+
+
+def _add_bool_flag(p: argparse.ArgumentParser, name: str, default: bool):
+    p.add_argument(f"--{name}", dest=name, action="store_true", default=default)
+    p.add_argument(f"--no_{name}", dest=name, action="store_false")
+
+
+def parse_args(argv: Optional[list] = None) -> TrainConfig:
+    defaults = TrainConfig()
+    p = argparse.ArgumentParser(description="TPU-native OT-GAN trainer")
+    for f in dataclasses.fields(TrainConfig):
+        if f.type == "bool" or isinstance(getattr(defaults, f.name), bool):
+            _add_bool_flag(p, f.name, getattr(defaults, f.name))
+        else:
+            p.add_argument(
+                f"--{f.name}",
+                type=type(getattr(defaults, f.name)),
+                default=getattr(defaults, f.name),
+            )
+    # reference-compat alias: --nr_gpu maps onto num_devices (train.py:23)
+    p.add_argument("--nr_gpu", type=int, default=None, help="alias for --num_devices")
+    ns = p.parse_args(argv)
+    if ns.nr_gpu is not None:
+        ns.num_devices = ns.nr_gpu
+    del ns.nr_gpu
+    return TrainConfig(**vars(ns))

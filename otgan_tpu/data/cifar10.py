@@ -1,0 +1,174 @@
+"""CIFAR-10 data pipeline (reference ``data/cifar10_data.py``).
+
+Same on-disk layout and API surface as the reference loader — download +
+extract ``cifar-10-python.tar.gz`` (``data/cifar10_data.py:12-27``), unpickle
+the 5 train / 1 test batches to ``(N, 3, 32, 32)`` uint8 (``:29-38``),
+``load(data_dir, subset)`` (``:40-53``) — plus the host-side prep the
+reference driver does inline (``train.py:158,163-170``): NCHW->NHWC
+transpose, [-1, 1] scaling, random horizontal flip.
+
+TPU-native upgrades over the reference:
+
+* ``DataLoader`` is a double-buffered, background-thread prefetcher: batch
+  t+1 is assembled (shuffle slice + flip) on the host while batch t is on
+  device — the reference rebuilds feed_dicts synchronously every step.
+* flips are vectorized numpy (one fancy-index per batch), not a per-image
+  Python loop (``train.py:163-170``).
+* batches are yielded as a single global array ready for device sharding;
+  there is no per-GPU feed_dict split (``train.py:207-211``) because SPMD
+  sharding handles placement.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import queue
+import tarfile
+import threading
+import urllib.request
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+CIFAR_URL = "http://www.cs.toronto.edu/~kriz/cifar-10-python.tar.gz"
+
+
+def maybe_download_and_extract(data_dir: str, url: str = CIFAR_URL) -> None:
+    """Fetch + untar if ``cifar-10-batches-py`` is absent
+    (reference ``data/cifar10_data.py:12-27``)."""
+    batches_dir = os.path.join(data_dir, "cifar-10-batches-py")
+    if os.path.exists(batches_dir):
+        return
+    os.makedirs(data_dir, exist_ok=True)
+    filename = url.split("/")[-1]
+    filepath = os.path.join(data_dir, filename)
+    if not os.path.exists(filepath):
+        print(f"downloading {url} -> {filepath}")
+        urllib.request.urlretrieve(url, filepath)
+    with tarfile.open(filepath, "r:gz") as tar:
+        tar.extractall(data_dir)
+
+
+def _unpickle(path: str):
+    with open(path, "rb") as fo:
+        d = pickle.load(fo, encoding="latin1")
+    return (
+        d["data"].reshape((-1, 3, 32, 32)),
+        np.asarray(d["labels"], np.uint8),
+    )
+
+
+def load(data_dir: str, subset: str = "train") -> Tuple[np.ndarray, np.ndarray]:
+    """Return ``(x, y)`` with x uint8 ``(N, 3, 32, 32)``
+    (reference ``data/cifar10_data.py:40-53``)."""
+    maybe_download_and_extract(data_dir)
+    bdir = os.path.join(data_dir, "cifar-10-batches-py")
+    if subset == "train":
+        parts = [_unpickle(os.path.join(bdir, f"data_batch_{i}")) for i in range(1, 6)]
+        return (
+            np.concatenate([p[0] for p in parts]),
+            np.concatenate([p[1] for p in parts]),
+        )
+    if subset == "test":
+        return _unpickle(os.path.join(bdir, "test_batch"))
+    raise NotImplementedError("subset should be either train or test")
+
+
+def to_nhwc_float(x_uint8_nchw: np.ndarray) -> np.ndarray:
+    """NCHW uint8 -> NHWC float32 in [-1, 1] (``train.py:158``)."""
+    x = np.transpose(x_uint8_nchw, (0, 2, 3, 1)).astype(np.float32)
+    return x / 127.5 - 1.0
+
+
+def random_flip(x: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+    """Vectorized 50% horizontal flip (replaces the per-image loop at
+    ``train.py:163-170``)."""
+    mask = rng.random(x.shape[0]) < 0.5
+    out = x.copy()
+    out[mask] = out[mask, :, ::-1, :]
+    return out
+
+
+class DataLoader:
+    """In-RAM epoch iterator with shuffle + flip and background prefetch.
+
+    API shape follows the reference ``DataLoader``
+    (``data/cifar10_data.py:55-120``): constructed from ``(data_dir, subset,
+    batch_size)``, iterates batches of NHWC float32 images, optional labels.
+    """
+
+    def __init__(
+        self,
+        data_dir: str,
+        subset: str = "train",
+        batch_size: int = 256,
+        rng: Optional[np.random.Generator] = None,
+        shuffle: bool = True,
+        augment_flip: bool = True,
+        return_labels: bool = False,
+        prefetch: int = 2,
+        data: Optional[np.ndarray] = None,
+        labels: Optional[np.ndarray] = None,
+    ):
+        if data is None:
+            data, labels = load(os.path.join(data_dir, "cifar-10-python"), subset)
+            data = to_nhwc_float(data)
+        self.data = np.ascontiguousarray(data, np.float32)
+        self.labels = labels
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.augment_flip = augment_flip
+        self.return_labels = return_labels
+        self.prefetch = prefetch
+        self.rng = rng if rng is not None else np.random.default_rng(1)
+
+    @property
+    def num_batches(self) -> int:
+        return self.data.shape[0] // self.batch_size
+
+    def observation_size(self):
+        return self.data.shape[1:]
+
+    def num_labels(self) -> int:
+        return int(np.max(self.labels)) + 1
+
+    def _epoch_indices(self) -> np.ndarray:
+        n = self.data.shape[0]
+        return self.rng.permutation(n) if self.shuffle else np.arange(n)
+
+    def _make_batch(self, idx: np.ndarray):
+        x = self.data[idx]
+        if self.augment_flip:
+            x = random_flip(x, self.rng)
+        if self.return_labels:
+            return x, self.labels[idx]
+        return x
+
+    def epoch(self) -> Iterator[np.ndarray]:
+        """One pass over the data with background batch assembly."""
+        inds = self._epoch_indices()
+        nb = self.num_batches
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+
+        def producer():
+            for t in range(nb):
+                q.put(
+                    self._make_batch(
+                        inds[t * self.batch_size : (t + 1) * self.batch_size]
+                    )
+                )
+            q.put(sentinel)
+
+        th = threading.Thread(target=producer, daemon=True)
+        th.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+        th.join()
+
+    def __iter__(self):
+        return self.epoch()

@@ -1,0 +1,198 @@
+"""Training engine: jitted SPMD generator/critic steps.
+
+Replaces the reference's graph-building phase (``train.py:38-154``): where
+the reference emits per-GPU towers, concat-gathers features, injects
+``grad_ys`` and sums gradients on gpu:0, this engine defines TWO pure jitted
+step functions (generator step, critic step) over a device mesh. XLA/GSPMD
+inserts the all-gathers (feature matching over the sharded batch) and psums
+(gradient reduction) that the reference hand-wires, and they ride ICI.
+
+Scheduling (1 critic step per ``nr_gen_per_disc`` generator steps,
+``train.py:213-226``) stays in the host loop (`otgan_tpu/train.py`).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from otgan_tpu.config import TrainConfig
+from otgan_tpu.models import get_model
+from otgan_tpu.nn.ema import ema_init, ema_update
+from otgan_tpu.nn.optim import make_optimizer
+from otgan_tpu.ops.costs import cosine_cost, scaled_sqeuclidean_cost
+from otgan_tpu.ops.losses import med_discriminator_loss, med_generator_loss
+from otgan_tpu.ops.matching import (
+    MatchedFeatures,
+    calc_distance,
+    match_random,
+    match_single_batch,
+    match_two_batch,
+)
+from otgan_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+
+Pytree = Any
+
+
+class TrainState(NamedTuple):
+    """Everything checkpointed: resume is exact (fixes the reference's
+    EMA/optimizer-slot loss on resume, SURVEY.md section 5.4)."""
+
+    gen_params: Pytree
+    disc_params: Pytree
+    gen_ema: Pytree
+    gen_opt: Any
+    disc_opt: Any
+    step: jax.Array  # global step counter (the reference's step_counter)
+    rng: jax.Array  # PRNG key threaded through noise sampling
+
+
+class StepMetrics(NamedTuple):
+    dist: jax.Array  # transport distance BEFORE the update (train.py:231)
+    entropy: jax.Array  # mean Sinkhorn entropy (utils/matching.py:57)
+
+
+class Engine:
+    def __init__(self, cfg: TrainConfig, mesh=None):
+        self.cfg = cfg
+        self.mesh = mesh if mesh is not None else make_mesh(cfg.num_devices)
+        family = get_model(cfg.model)
+        opts = cfg.model_opts()
+        self.gen = family.make_generator(**opts)
+        self.disc = family.make_discriminator(**opts)
+        self.opt_init, _opt_update = make_optimizer(cfg.optimizer)
+        if cfg.optimizer == "nesterov":
+            self.opt_update = functools.partial(_opt_update, mom1=cfg.adam_mom1)
+        else:
+            self.opt_update = functools.partial(
+                _opt_update, mom1=cfg.adam_mom1, mom2=cfg.adam_mom2
+            )
+        self.cost_fn = (
+            scaled_sqeuclidean_cost if cfg.model == "toy_mlp" else cosine_cost
+        )
+        self._matcher = self._make_matcher()
+        self.gen_step = jax.jit(self._gen_step, donate_argnums=(0,))
+        self.disc_step = jax.jit(self._disc_step, donate_argnums=(0,))
+
+    # -- matching mode dispatch (train.py:88-97) --
+    def _make_matcher(self) -> Callable[[jax.Array, jax.Array], MatchedFeatures]:
+        cfg = self.cfg
+        n_dev = len(self.mesh.devices.flat)
+        if cfg.no_sinkhorn:
+            shard = max(cfg.batch_size // max(n_dev, 1), 1)
+            return functools.partial(match_random, shard_size=shard)
+        use_pallas = cfg.use_pallas and jax.default_backend() == "tpu"
+        match = match_single_batch if cfg.single_batch else match_two_batch
+        return functools.partial(
+            match,
+            lam=cfg.sinkhorn_lambda,
+            n_iters=cfg.nr_sinkhorn_iter,
+            cost_fn=self.cost_fn,
+            use_pallas=use_pallas,
+        )
+
+    # -- init (replaces the init pass at train.py:52-56, but actually
+    #    executes the data-dependent init; see SURVEY.md section 3.1 step 8) --
+    def init_state(self, seed: int, x_init: jax.Array) -> Tuple[TrainState, int]:
+        k_disc, k_gen, k_noise, k_run = jax.random.split(
+            jax.random.PRNGKey(seed), 4
+        )
+        dd = self.cfg.data_dependent_init and self.cfg.model != "toy_mlp"
+        disc_init = functools.partial(self.disc.init, data_dependent=dd)
+        gen_init = functools.partial(self.gen.init, data_dependent=dd)
+        disc_params, f = jax.jit(disc_init)(k_disc, x_init)
+        num_features = f.shape[-1]
+        gen_params, _ = jax.jit(gen_init, static_argnums=(2,))(
+            k_gen, k_noise, int(x_init.shape[0])
+        )
+        state = TrainState(
+            gen_params=gen_params,
+            disc_params=disc_params,
+            gen_ema=ema_init(gen_params),
+            gen_opt=self.opt_init(gen_params),
+            disc_opt=self.opt_init(disc_params),
+            step=jnp.zeros((), jnp.int32),
+            rng=k_run,
+        )
+        return replicate(self.mesh, state), num_features
+
+    # -- generator update (train.py:108-113,141-151 descent; EMA at :223) --
+    def _gen_step(
+        self, state: TrainState, x_data: jax.Array
+    ) -> Tuple[TrainState, StepMetrics]:
+        cfg = self.cfg
+        B = x_data.shape[0]
+        rng, noise_key = jax.random.split(state.rng)
+
+        def loss_fn(gen_params):
+            x_gen = self.gen.apply(gen_params, noise_key, B)
+            f_gen = self.disc.apply(state.disc_params, x_gen)
+            f_dat = self.disc.apply(state.disc_params, x_data)
+            m = self._matcher(f_gen, f_dat)
+            return med_generator_loss(f_gen, m), (m, f_gen, f_dat)
+
+        grads, (m, f_gen, f_dat) = jax.grad(loss_fn, has_aux=True)(
+            state.gen_params
+        )
+        dist = calc_distance(f_gen, f_dat, m)
+        gen_params, gen_opt = self.opt_update(
+            state.gen_params, grads, state.gen_opt, cfg.learning_rate_gen
+        )
+        new_state = state._replace(
+            gen_params=gen_params,
+            gen_opt=gen_opt,
+            gen_ema=ema_update(state.gen_ema, gen_params, cfg.ema_decay),
+            step=state.step + 1,
+            rng=rng,
+        )
+        return new_state, StepMetrics(dist=dist, entropy=m.entropy)
+
+    # -- critic update: ascent via negative lr (train.py:115-130,143) --
+    def _disc_step(
+        self, state: TrainState, x_data: jax.Array
+    ) -> Tuple[TrainState, StepMetrics]:
+        cfg = self.cfg
+        B = x_data.shape[0]
+        rng, noise_key = jax.random.split(state.rng)
+        fake_params = (
+            state.gen_ema if cfg.train_disc_against_ema else state.gen_params
+        )
+        x_fake = self.gen.apply(fake_params, noise_key, B)
+
+        def loss_fn(disc_params):
+            f_fake = self.disc.apply(disc_params, x_fake)
+            f_dat = self.disc.apply(disc_params, x_data)
+            m = self._matcher(f_fake, f_dat)
+            return med_discriminator_loss(f_fake, f_dat, m), (m, f_fake, f_dat)
+
+        grads, (m, f_fake, f_dat) = jax.grad(loss_fn, has_aux=True)(
+            state.disc_params
+        )
+        dist = calc_distance(f_fake, f_dat, m)
+        disc_params, disc_opt = self.opt_update(
+            state.disc_params,
+            grads,
+            state.disc_opt,
+            -cfg.learning_rate_disc,  # gradient ascent (train.py:143)
+        )
+        new_state = state._replace(
+            disc_params=disc_params,
+            disc_opt=disc_opt,
+            step=state.step + 1,
+            rng=rng,
+        )
+        return new_state, StepMetrics(dist=dist, entropy=m.entropy)
+
+    # -- sampling (train.py:72-75, x_gens / x_gens_ema) --
+    @functools.partial(jax.jit, static_argnums=(0, 3, 4))
+    def sample(
+        self, state: TrainState, rng: jax.Array, batch_size: int, ema: bool = False
+    ) -> jax.Array:
+        params = state.gen_ema if ema else state.gen_params
+        return self.gen.apply(params, rng, batch_size)
+
+    def shard(self, x):
+        return shard_batch(self.mesh, x)

@@ -1,0 +1,361 @@
+"""Functional layer library: weight normalization + data-dependent init.
+
+TPU-native re-design of the reference's TF1 layer library
+(``utils/nn.py:89-338`` in openai/ot-gan). Key behavioral contracts kept:
+
+* **weight normalization** (Salimans & Kingma 2016): parameters are
+  ``(V, g, b)`` with effective weight ``W = g * V / ||V||`` where the norm is
+  over all axes except the last (``utils/nn.py:128-131,173-181``);
+* **data-dependent init**: on the init pass, ``g = init_scale / std(pre)`` and
+  ``b = -mean(pre) * g`` computed from a real batch, so every unit starts with
+  mean 0 / std ``init_scale`` activations (``utils/nn.py:108-162``). Note the
+  reference *ships* this inert (the init subgraph is never run, see SURVEY.md
+  section 3.1 step 8); here it actually executes, as one jitted pass;
+* **pre-activation applied inside the op** — None / relu / elu / crelu / celu,
+  where the "c" variants concatenate ``[x, -x]`` per input tensor
+  (``utils/nn.py:190-206``);
+* **list inputs** to conv/pool for DenseNet-style skip aggregation: the list
+  is pre-activated element-wise and concatenated on the channel axis before
+  the conv (``utils/nn.py:234-241``);
+* fused nearest-neighbor 2x **upsample** before conv (``utils/nn.py:236``),
+  stride, and dilation.
+
+Design notes (TPU-first):
+
+* Everything is a pure function of a param pytree. "Templates"/variable
+  scopes become a ``Scope`` that names parameters with the same
+  ``layer_name_N`` counters the reference uses (``utils/nn.py:95-100``), so
+  checkpoints are self-describing.
+* There is no EMA plumbing inside layers: sampling with EMA weights is just
+  ``apply(ema_params, ...)`` on the same pure function (replaces
+  ``get_var_maybe_avg``, ``utils/nn.py:89-93``).
+* The reference's disabled gradient-checkpointing scaffold
+  (``utils/nn.py:186-309``) maps to ``jax.checkpoint``: wrap any block with
+  ``jax.checkpoint`` to recompute activations in the backward pass — XLA
+  handles it; no custom machinery needed. ``make_module(..., remat=True)``
+  applies it to the whole module.
+* NHWC layout; XLA picks TPU-optimal internal layouts for convs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, List, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+ArrayOrList = Union[Array, List[Array]]
+
+
+# ---------------------------------------------------------------------------
+# activations
+# ---------------------------------------------------------------------------
+
+
+def apply_pre_activation(
+    x: ArrayOrList, pre_activation: Optional[str], axis: int = -1
+) -> Array:
+    """Reference ``apply_pre_activation`` (``utils/nn.py:190-206``): apply the
+    nonlinearity to (a list of) inputs and concat on ``axis``. The 'c'
+    variants interleave ``[xi, -xi]`` per list element."""
+    if isinstance(x, tuple):
+        x = list(x)
+    elif not isinstance(x, list):
+        x = [x]
+    if pre_activation is None:
+        return x[0] if len(x) == 1 else jnp.concatenate(x, axis)
+    if pre_activation == "celu":
+        cat = jnp.concatenate([s for xi in x for s in (xi, -xi)], axis)
+        return jax.nn.elu(cat)
+    if pre_activation == "crelu":
+        cat = jnp.concatenate([s for xi in x for s in (xi, -xi)], axis)
+        return jax.nn.relu(cat)
+    if pre_activation == "elu":
+        return jax.nn.elu(x[0] if len(x) == 1 else jnp.concatenate(x, axis))
+    if pre_activation == "relu":
+        return jax.nn.relu(x[0] if len(x) == 1 else jnp.concatenate(x, axis))
+    raise ValueError(f"unsupported pre-activation: {pre_activation!r}")
+
+
+def glu(x: Array, axis: int = -1) -> Array:
+    """Gated linear unit ``x * sigmoid(gate)`` with x/gate = split in half
+    (generator trick at ``models/dcgan.py:34-36``)."""
+    h, gate = jnp.split(x, 2, axis=axis)
+    return h * jax.nn.sigmoid(gate)
+
+
+def l2_normalize_rows(x: Array, eps: float = 0.0) -> Array:
+    """Row L2 normalization, as the critic feature head
+    (``models/dcgan.py:19``: divide by sqrt(sum of squares), no epsilon)."""
+    denom = jnp.sqrt(jnp.sum(jnp.square(x), axis=-1, keepdims=True) + eps)
+    return x / denom
+
+
+def nn_upsample(x: Array, factor: int = 2) -> Array:
+    """Nearest-neighbor upsample (NHWC) via reshape+broadcast — fuses in XLA,
+    replacing ``tf.image.resize_nearest_neighbor`` (``models/dcgan.py:38``)."""
+    n, h, w, c = x.shape
+    x = jnp.broadcast_to(
+        x[:, :, None, :, None, :], (n, h, factor, w, factor, c)
+    )
+    return x.reshape(n, h * factor, w * factor, c)
+
+
+# ---------------------------------------------------------------------------
+# parameter scope
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class Scope:
+    """Names, creates (init) or fetches (apply) parameters.
+
+    ``mode='init'``: layers draw V ~ N(0, 0.05) from ``rng`` (reference
+    initializer, ``utils/nn.py:124``) and, when the layer sees data, compute
+    data-dependent ``g``/``b``; params are collected into ``params``.
+    ``mode='apply'``: layers read from ``params``.
+    """
+
+    mode: str  # 'init' | 'apply'
+    params: Dict[str, Any]
+    rng: Optional[Array] = None
+    counters: Dict[str, int] = dataclasses.field(default_factory=dict)
+    # data_init=True: compute g,b from batch statistics (the reference's
+    # *intended* init, utils/nn.py:108-162). data_init=False: g=1, b=0,
+    # V ~ N(0, 0.05) — the reference's *shipped* behavior (its init-pass
+    # assign ops never execute, SURVEY.md section 3.1 step 8); without
+    # weight norm V gets He/Glorot scale sqrt(2/fan_in) instead.
+    data_init: bool = True
+
+    def next_name(self, base: str) -> str:
+        # reference get_name (utils/nn.py:95-100)
+        i = self.counters.get(base, 0)
+        self.counters[base] = i + 1
+        return f"{base}_{i}"
+
+    def fold_rng(self) -> Array:
+        assert self.rng is not None, "init mode needs an rng"
+        self.rng, sub = jax.random.split(self.rng)
+        return sub
+
+
+def _l2norm_last(v: Array) -> Array:
+    """Normalize over all axes except the last (per-output-unit direction)."""
+    axes = tuple(range(v.ndim - 1))
+    return v / jnp.sqrt(jnp.sum(jnp.square(v), axis=axes, keepdims=True))
+
+
+def _wn_params(
+    scope: Scope,
+    name: str,
+    v_shape: Sequence[int],
+    num_units: int,
+    f: Callable[[Array], Array],
+    init_scale: float,
+    weight_norm: bool,
+    use_b: bool,
+    use_g: bool,
+):
+    """Create/fetch (V, g, b) and return the layer output of ``f`` applied
+    with the effective weight, reproducing ``get_params``
+    (``utils/nn.py:103-183``) with the data-dependent path actually live."""
+    if scope.mode == "init":
+        if scope.data_init or weight_norm:
+            v = 0.05 * jax.random.normal(scope.fold_rng(), tuple(v_shape))
+        else:
+            # plain init without weight norm: He/Glorot scale (the toy
+            # notebook's xavier_init: std = sqrt(2 / fan_in))
+            fan_in = int(np.prod(v_shape[:-1]))
+            v = jnp.sqrt(2.0 / fan_in) * jax.random.normal(
+                scope.fold_rng(), tuple(v_shape)
+            )
+        if not scope.data_init:
+            p: Dict[str, Array] = {"V": v}
+            if use_g:
+                p["g"] = jnp.ones((num_units,), v.dtype)
+            if use_b:
+                p["b"] = jnp.zeros((num_units,), v.dtype)
+            scope.params[name] = p
+            w = _l2norm_last(v) if weight_norm else v
+            if use_g:
+                w = w * p["g"]
+            out = f(w)
+            if use_b:
+                out = out + p["b"]
+            return out
+        w_dir = _l2norm_last(v) if weight_norm else v
+        pre = f(w_dir)  # pre-activation output with unit-norm directions
+        p: Dict[str, Array] = {"V": v}
+        if use_g or (not weight_norm):
+            norm_axes = tuple(range(pre.ndim - 1))
+            m = jnp.mean(pre, axis=norm_axes)
+            s = jnp.std(pre, axis=norm_axes)
+            init_g = init_scale / (s + 1e-10)
+        if use_g:
+            p["g"] = init_g
+            out = pre * init_g
+        elif not weight_norm:
+            # fold the scale straight into V (utils/nn.py:150-151)
+            p["V"] = v * init_g
+            out = pre * init_g
+        else:
+            out = pre
+        if use_b:
+            p["b"] = -jnp.mean(out, axis=tuple(range(out.ndim - 1)))
+            out = out + p["b"]
+        scope.params[name] = p
+        return out
+    else:
+        p = scope.params[name]
+        w = _l2norm_last(p["V"]) if weight_norm else p["V"]
+        if use_g and "g" in p:
+            w = w * p["g"]
+        out = f(w)
+        if use_b and "b" in p:
+            out = out + p["b"]
+        return out
+
+
+# ---------------------------------------------------------------------------
+# layers
+# ---------------------------------------------------------------------------
+
+
+def dense(
+    scope: Scope,
+    x: ArrayOrList,
+    num_units: int,
+    pre_activation: Optional[str] = "celu",
+    init_scale: float = 1.0,
+    weight_norm: bool = True,
+    use_b: bool = True,
+    use_g: bool = True,
+) -> Array:
+    """Weight-normalized dense layer (reference ``dense``,
+    ``utils/nn.py:314-325``). Pre-activation is applied to the input first
+    ('c' variants double the fan-in, ``utils/nn.py:120-121``)."""
+    name = scope.next_name("dense")
+    xin = apply_pre_activation(x, pre_activation, axis=-1)
+    v_shape = (xin.shape[-1], num_units)
+    return _wn_params(
+        scope,
+        name,
+        v_shape,
+        num_units,
+        lambda w: jnp.matmul(xin, w),
+        init_scale,
+        weight_norm,
+        use_b,
+        use_g,
+    )
+
+
+def conv2d(
+    scope: Scope,
+    x: ArrayOrList,
+    num_filters: int,
+    filter_size: Sequence[int] = (3, 3),
+    stride: Sequence[int] = (1, 1),
+    pad: str = "SAME",
+    dilate: int = 1,
+    upsample: bool = False,
+    pre_activation: Optional[str] = "celu",
+    init_scale: float = 1.0,
+    weight_norm: bool = True,
+    use_b: bool = True,
+    use_g: bool = True,
+) -> Array:
+    """Weight-normalized conv layer (reference ``conv2d``,
+    ``utils/nn.py:327-338``), NHWC / HWIO.
+
+    Accepts a list of tensors (DenseNet skip aggregation): with ``upsample``
+    the list is concatenated and NN-upsampled 2x *before* the pre-activation
+    (``utils/nn.py:234-241``); dilation maps to ``rhs_dilation`` (the
+    reference's ``atrous_conv2d``)."""
+    name = scope.next_name("conv2d")
+    if upsample:
+        cat = (
+            jnp.concatenate(list(x), axis=-1)
+            if isinstance(x, (list, tuple))
+            else x
+        )
+        xin = apply_pre_activation(nn_upsample(cat), pre_activation, axis=-1)
+    else:
+        xin = apply_pre_activation(x, pre_activation, axis=-1)
+
+    v_shape = tuple(filter_size) + (xin.shape[-1], num_filters)
+    dn = jax.lax.conv_dimension_numbers(
+        xin.shape, v_shape, ("NHWC", "HWIO", "NHWC")
+    )
+
+    def f(w):
+        return jax.lax.conv_general_dilated(
+            xin,
+            w,
+            window_strides=tuple(stride),
+            padding=pad,
+            rhs_dilation=(dilate, dilate),
+            dimension_numbers=dn,
+        )
+
+    return _wn_params(
+        scope,
+        name,
+        v_shape,
+        num_filters,
+        f,
+        init_scale,
+        weight_norm,
+        use_b,
+        use_g,
+    )
+
+
+def global_avg_pool(
+    x: ArrayOrList, pre_activation: Optional[str] = "celu"
+) -> Array:
+    """Parameterless global average pool over H,W with pre-activation
+    (reference ``global_avg_pool``, ``utils/nn.py:287-309``)."""
+    xin = apply_pre_activation(x, pre_activation, axis=-1)
+    return jnp.mean(xin, axis=(1, 2))
+
+
+# ---------------------------------------------------------------------------
+# module wrapper
+# ---------------------------------------------------------------------------
+
+
+class Module:
+    """Bundle of (init, apply) around a spec function ``spec(scope, *a, **k)``.
+
+    ``init(rng, *args, **kwargs) -> (params, out)`` runs the spec with real
+    data-dependent initialization (jit-able). ``apply(params, *args, **kwargs)
+    -> out`` is the pure forward. EMA sampling == ``apply(ema_params, ...)``.
+    """
+
+    def __init__(self, spec: Callable, remat: bool = False):
+        self._spec = spec
+        self._remat = remat
+
+    def init(self, rng: Array, *args, data_dependent: bool = True, **kwargs):
+        scope = Scope(
+            mode="init", params={}, rng=rng, data_init=data_dependent
+        )
+        out = self._spec(scope, *args, **kwargs)
+        return scope.params, out
+
+    def apply(self, params: Dict[str, Any], *args, **kwargs):
+        def run(params, *a):
+            scope = Scope(mode="apply", params=params)
+            return self._spec(scope, *a, **kwargs)
+
+        if self._remat:
+            return jax.checkpoint(run)(params, *args)
+        return run(params, *args)
+
+
+def make_module(spec: Callable, remat: bool = False) -> Module:
+    return Module(spec, remat=remat)

@@ -59,7 +59,7 @@ def _mm(p: jax.Array, f: jax.Array) -> jax.Array:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_iters", "cost_fn", "use_pallas")
+    jax.jit, static_argnames=("lam", "n_iters", "cost_fn", "use_pallas")
 )
 def match_two_batch(
     features_a: jax.Array,
@@ -121,7 +121,7 @@ def match_two_batch(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_iters", "cost_fn", "use_pallas")
+    jax.jit, static_argnames=("lam", "n_iters", "cost_fn", "use_pallas")
 )
 def match_single_batch(
     features_a: jax.Array,

@@ -100,7 +100,7 @@ def assignment_and_entropy(log_a: jax.Array):
     return p, jnp.mean(ent, axis=-1)
 
 
-@functools.partial(jax.jit, static_argnames=("n_iters", "use_pallas"))
+@functools.partial(jax.jit, static_argnames=("lam", "n_iters", "use_pallas"))
 def sinkhorn_assignment(
     cost: jax.Array,
     lam: float,
@@ -115,7 +115,14 @@ def sinkhorn_assignment(
 
     ``use_pallas`` selects the fused VMEM-resident TPU kernel
     (``otgan_tpu/ops/sinkhorn_pallas.py``) when the matrix fits on-chip.
+
+    The assignment is NON-differentiable by design: the reference detaches
+    the Sinkhorn plan (backprop is seeded at the feature tensors via
+    ``grad_ys``, train.py:108-130), so the cost is stop_gradient-ed here.
+    This both encodes the semantics and keeps autodiff from trying to
+    linearize through the 500-iteration loop / the Pallas kernel.
     """
+    cost = jax.lax.stop_gradient(cost)
     if use_pallas:
         from otgan_tpu.ops.sinkhorn_pallas import sinkhorn_assignment_pallas
 

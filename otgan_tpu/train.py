@@ -1,0 +1,221 @@
+"""Training driver CLI (reference ``train.py`` / ``train_with_model_saving.py``).
+
+``python -m otgan_tpu.train --flags`` — every reference flag is preserved
+(see ``otgan_tpu/config.py``). Differences, all deliberate:
+
+* one SPMD program over a device mesh instead of 8 hand-placed towers;
+* full train-state checkpoints (params + EMA + optimizer slots + step + RNG)
+  so resume is exact — the ``train_with_model_saving.py:59`` fix, done right;
+* structured JSONL metrics alongside the reference's stdout prints and
+  ``distances.npz``;
+* the Inception eval (every ``eval_every_epochs``) degrades gracefully when
+  classifier weights are unavailable (zero-egress environments).
+
+Epoch structure follows the reference loop (``train.py:196-281``): shuffle,
+1 critic step per ``nr_gen_per_disc`` generator steps, per-epoch sample
+grids (raw + EMA), periodic eval + checkpoints.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+from otgan_tpu.config import TrainConfig, parse_args
+from otgan_tpu.data.cifar10 import DataLoader
+from otgan_tpu.data.toy import sample_8gaussians
+from otgan_tpu.engine import Engine, TrainState
+from otgan_tpu.utils.checkpoint import (
+    checkpoint_step,
+    latest_checkpoint,
+    restore_checkpoint,
+    save_checkpoint,
+)
+from otgan_tpu.utils.metrics import MetricLogger
+from otgan_tpu.utils.plotting import img_tile, save_tile_img
+
+
+def _toy_epoch(rng: np.random.Generator, batch_size: int, n_batches: int = 78):
+    for _ in range(n_batches):
+        yield sample_8gaussians(rng, batch_size)
+
+
+def _save_sample_grid(engine: Engine, state: TrainState, path: str, rng_seed: int, ema: bool):
+    n = 100
+    x = np.asarray(
+        engine.sample(state, jax.random.PRNGKey(rng_seed), n, ema)
+    )
+    if x.ndim == 4:  # images
+        grid = img_tile(x, aspect_ratio=1.0, border_color=1.0, stretch=False)
+        save_tile_img(grid, path)
+    else:  # toy 2D points
+        np.save(path.replace(".png", ".npy"), x)
+
+
+def train(cfg: TrainConfig) -> TrainState:
+    os.makedirs(cfg.save_dir, exist_ok=True)
+    np.random.seed(cfg.seed)
+
+    engine = Engine(cfg)
+    print(
+        f"mesh: {engine.mesh}; backend: {jax.default_backend()}; "
+        f"global batch: {cfg.batch_size}"
+    )
+
+    # ---- data ----
+    is_toy = cfg.model == "toy_mlp"
+    data_rng = np.random.default_rng(cfg.seed)
+    if is_toy:
+        x_init = sample_8gaussians(data_rng, cfg.batch_size)
+        n_batches = 78  # ~40000/512, one notebook "epoch"
+        loader = None
+    else:
+        loader = DataLoader(
+            cfg.data_dir,
+            subset="train",
+            batch_size=cfg.batch_size,
+            rng=data_rng,
+        )
+        x_init = next(iter(loader.epoch()))
+        n_batches = loader.num_batches
+
+    # ---- init / resume ----
+    state, num_features = engine.init_state(cfg.seed, engine.shard(x_init))
+    print(f"model has a hidden representation with {num_features} features")
+    start_epoch = 0
+    if cfg.load_params:
+        path = cfg.model_name or latest_checkpoint(cfg.save_dir)
+        if path:
+            state = restore_checkpoint(path, state)
+            start_epoch = checkpoint_step(path) + 1
+            print(f"restored {path}; resuming at epoch {start_epoch}")
+        else:
+            print("no checkpoint found; training from scratch")
+
+    logger = MetricLogger(cfg.save_dir)
+    if cfg.profile_dir:
+        jax.profiler.start_trace(cfg.profile_dir)
+
+    step_counter = int(np.asarray(state.step))
+    mean_dist_gen, mean_dist_disc = [], []
+    start_time = time.time()
+
+    for epoch in range(start_epoch, cfg.max_epochs):
+        begin = time.time()
+        dist_gen, dist_disc, entropies = [], [], []
+        batches = (
+            _toy_epoch(data_rng, cfg.batch_size, n_batches)
+            if is_toy
+            else loader.epoch()
+        )
+        for x in batches:
+            x = engine.shard(x)
+            # 1 critic step per nr_gen_per_disc generator steps
+            # (train.py:213-226)
+            if step_counter % (cfg.nr_gen_per_disc + 1) == 0:
+                state, met = engine.disc_step(state, x)
+                dist_disc.append(met.dist)
+            else:
+                state, met = engine.gen_step(state, x)
+                dist_gen.append(met.dist)
+            if jax.default_backend() == "cpu":
+                # serialize dispatch: concurrent multi-executable collectives
+                # can deadlock XLA:CPU's rendezvous (virtual-device meshes)
+                jax.block_until_ready(state)
+            entropies.append(met.entropy)
+            step_counter += 1
+            if cfg.log_every_steps and step_counter % cfg.log_every_steps == 0:
+                logger.log(
+                    step_counter,
+                    dist=float(np.asarray(met.dist)),
+                    entropy=float(np.asarray(met.entropy)),
+                )
+
+        mg = float(np.mean([np.asarray(d) for d in dist_gen])) if dist_gen else float("nan")
+        md = float(np.mean([np.asarray(d) for d in dist_disc])) if dist_disc else float("nan")
+        mean_dist_gen.append(mg)
+        mean_dist_disc.append(md)
+        logger.log(
+            step_counter,
+            epoch=epoch,
+            epoch_time=time.time() - begin,
+            dist_gen=mg,
+            dist_disc=md,
+            entropy=float(np.mean([np.asarray(e) for e in entropies])),
+        )
+
+        # per-epoch sample grids, raw + EMA (train.py:233-243)
+        _save_sample_grid(
+            engine, state, os.path.join(cfg.save_dir, f"sample{epoch}.png"),
+            rng_seed=epoch, ema=False,
+        )
+        _save_sample_grid(
+            engine, state, os.path.join(cfg.save_dir, f"ema_sample{epoch}.png"),
+            rng_seed=epoch, ema=True,
+        )
+
+        # periodic inception eval (train.py:245-273)
+        if (
+            not is_toy
+            and (epoch + 1) % cfg.eval_every_epochs == 0
+            and epoch != start_epoch
+        ):
+            _maybe_inception_eval(cfg, engine, state, logger, step_counter)
+
+        # periodic checkpoint + loss history (train.py:275-281)
+        if (epoch + 1) % cfg.save_every_epochs == 0 and epoch != start_epoch:
+            path = save_checkpoint(cfg.save_dir, state, epoch)
+            logger.save_distances(mean_dist_gen, mean_dist_disc)
+            print(
+                f"saved {path}; elapsed hours "
+                f"{(time.time() - start_time) / 3600:.3f}; "
+                f"total updates {step_counter}"
+            )
+
+    if cfg.profile_dir:
+        jax.profiler.stop_trace()
+    logger.close()
+    return state
+
+
+def _maybe_inception_eval(cfg, engine, state, logger, step_counter):
+    try:
+        from otgan_tpu.eval.inception import get_inception_score
+    except Exception as e:  # pragma: no cover
+        print(f"inception eval unavailable: {e}")
+        return
+    for ema in (False, True):
+        samples = []
+        need = cfg.inception_samples
+        bs = cfg.batch_size
+        seed = 0
+        while sum(s.shape[0] for s in samples) < need:
+            x = np.asarray(
+                engine.sample(state, jax.random.PRNGKey(10_000 + seed), bs, ema)
+            )
+            samples.append(x)
+            seed += 1
+        samples = np.concatenate(samples)[:need]
+        samples = 127.5 * (samples + 1.0)  # [0, 255] (train.py:260-261)
+        try:
+            mean, std = get_inception_score(samples, splits=cfg.inception_splits)
+            tag = "ema_" if ema else ""
+            logger.log(
+                step_counter,
+                **{f"{tag}inception_score": mean, f"{tag}inception_std": std},
+            )
+        except FileNotFoundError as e:
+            print(f"inception weights unavailable, skipping eval: {e}")
+            return
+
+
+def main(argv: Optional[list] = None):
+    train(parse_args(argv))
+
+
+if __name__ == "__main__":
+    main()

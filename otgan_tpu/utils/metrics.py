@@ -1,0 +1,66 @@
+"""Structured metric logging + loss-history artifacts.
+
+The reference logs via stdout prints and a ``distances.npz`` history
+(``train.py:229-231,277``). Here: a JSONL stream (one record per log call,
+machine-readable) plus the same ``distances.npz`` artifact for drop-in
+compatibility, and stdout mirroring.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+
+class MetricLogger:
+    def __init__(self, save_dir: str, filename: str = "metrics.jsonl", echo: bool = True):
+        os.makedirs(save_dir, exist_ok=True)
+        self.path = os.path.join(save_dir, filename)
+        self.save_dir = save_dir
+        self.echo = echo
+        self._fh = open(self.path, "a", buffering=1)
+        self.history: Dict[str, List[float]] = {}
+
+    def log(self, step: int, **values: Any) -> None:
+        rec = {"step": step, "time": time.time()}
+        for k, v in values.items():
+            v = float(v) if isinstance(v, (int, float, np.floating)) else v
+            rec[k] = v
+            if isinstance(v, float):
+                self.history.setdefault(k, []).append(v)
+        self._fh.write(json.dumps(rec) + "\n")
+        if self.echo:
+            parts = ", ".join(
+                f"{k}={v:.6f}" if isinstance(v, float) else f"{k}={v}"
+                for k, v in values.items()
+            )
+            print(f"[step {step}] {parts}", flush=True)
+
+    def save_distances(
+        self,
+        mean_dist_gen: Optional[List[float]] = None,
+        mean_dist_disc: Optional[List[float]] = None,
+    ) -> str:
+        """Write ``distances.npz`` like the reference (``train.py:277``)."""
+        path = os.path.join(self.save_dir, "distances.npz")
+        np.savez(
+            path,
+            mean_dist_gen=np.asarray(
+                mean_dist_gen
+                if mean_dist_gen is not None
+                else self.history.get("dist_gen", [])
+            ),
+            mean_dist_disc=np.asarray(
+                mean_dist_disc
+                if mean_dist_disc is not None
+                else self.history.get("dist_disc", [])
+            ),
+        )
+        return path
+
+    def close(self):
+        self._fh.close()

@@ -1,0 +1,150 @@
+"""Data pipeline, plotting, checkpoint, metrics tests."""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+
+from otgan_tpu.data.cifar10 import DataLoader, random_flip, to_nhwc_float
+from otgan_tpu.data.toy import GAUSSIAN_CENTERS, mode_coverage, sample_8gaussians
+from otgan_tpu.utils.checkpoint import (
+    latest_checkpoint,
+    restore_checkpoint,
+    save_checkpoint,
+    checkpoint_step,
+)
+from otgan_tpu.utils.metrics import MetricLogger
+from otgan_tpu.utils.plotting import img_stretch, img_tile, save_tile_img
+
+
+def _fake_cifar(n=512):
+    rng = np.random.default_rng(0)
+    return rng.integers(0, 256, (n, 3, 32, 32)).astype(np.uint8)
+
+
+def test_to_nhwc_float_range():
+    x = to_nhwc_float(_fake_cifar(8))
+    assert x.shape == (8, 32, 32, 3)
+    assert x.min() >= -1.0 and x.max() <= 1.0
+    assert x.dtype == np.float32
+
+
+def test_random_flip_only_mirrors():
+    rng = np.random.default_rng(1)
+    x = to_nhwc_float(_fake_cifar(64))
+    out = random_flip(x, rng)
+    for i in range(64):
+        same = np.array_equal(out[i], x[i])
+        mirrored = np.array_equal(out[i], x[i, :, ::-1, :])
+        assert same or mirrored
+    # both outcomes occur
+    flips = sum(
+        not np.array_equal(out[i], x[i]) for i in range(64)
+    )
+    assert 0 < flips < 64
+
+
+def test_dataloader_epochs(tmp_path):
+    data = to_nhwc_float(_fake_cifar(256))
+    dl = DataLoader(
+        str(tmp_path), batch_size=64, data=data,
+        labels=np.zeros((256,), np.uint8), rng=np.random.default_rng(2),
+    )
+    assert dl.num_batches == 4
+    batches = list(dl.epoch())
+    assert len(batches) == 4
+    assert all(b.shape == (64, 32, 32, 3) for b in batches)
+    # shuffled epochs differ
+    b2 = list(dl.epoch())
+    assert not np.array_equal(batches[0], b2[0])
+
+
+def test_toy_data():
+    rng = np.random.default_rng(3)
+    x = sample_8gaussians(rng, 4096)
+    assert x.shape == (4096, 2)
+    assert mode_coverage(x) == 8
+    # degenerate single-mode cloud covers 1
+    assert mode_coverage(np.tile(GAUSSIAN_CENTERS[0], (100, 1))) == 1
+
+
+def test_img_tile_and_save(tmp_path):
+    imgs = np.zeros((7, 8, 8, 3), np.float32)
+    grid = img_tile(imgs, border=1, border_color=1.0)
+    th = tw = 3  # ceil(sqrt(7))
+    assert grid.shape == (3 * 9 - 1, 3 * 9 - 1, 3)
+    # borders are 1.0, cells are 0.0
+    assert grid[8, 0, 0] == 1.0 and grid[0, 0, 0] == 0.0
+    # empty trailing cells stay border-colored
+    assert grid[-1, -1, 0] == 1.0
+    path = os.path.join(tmp_path, "t.png")
+    save_tile_img(grid, path)
+    assert os.path.exists(path)
+
+
+def test_img_tile_matches_reference_semantics():
+    """Vectorized tiler == straightforward loop implementation."""
+    rng = np.random.default_rng(4)
+    imgs = rng.random((5, 4, 6, 3)).astype(np.float32)
+    got = img_tile(imgs, border=2, border_color=0.5)
+    # loop reference
+    th, tw = 3, 2  # aspect: w/h=1.5 -> th=ceil(sqrt(7.5))=3, tw=ceil(sqrt(10/3))=2
+    H, W = 4 + 2, 6 + 2
+    want = np.full((th * H - 2, tw * W - 2, 3), 0.5, np.float32)
+    for i in range(th):
+        for j in range(tw):
+            k = j + i * tw
+            if k >= 5:
+                break
+            want[i * H : i * H + 4, j * W : j * W + 6] = imgs[k]
+    np.testing.assert_allclose(got, want, atol=0)
+
+
+def test_img_stretch():
+    x = np.asarray([[-2.0, 0.0, 2.0]])
+    s = img_stretch(x)
+    np.testing.assert_allclose(s, [[0.0, 0.5, 1.0]], atol=1e-9)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    state = {
+        "a": jnp.arange(6, dtype=jnp.float32).reshape(2, 3),
+        "b": (jnp.zeros((4,)), jnp.ones((), jnp.int32)),
+    }
+    p1 = save_checkpoint(str(tmp_path), state, 10)
+    p2 = save_checkpoint(str(tmp_path), state, 200)
+    assert latest_checkpoint(str(tmp_path)) == p2
+    assert checkpoint_step(p2) == 200
+    template = jax.tree.map(jnp.zeros_like, state)
+    restored = restore_checkpoint(p1, template)
+    np.testing.assert_allclose(np.asarray(restored["a"]), np.asarray(state["a"]))
+    np.testing.assert_allclose(np.asarray(restored["b"][0]), 0.0)
+    assert int(restored["b"][1]) == 1
+
+
+def test_checkpoint_shape_mismatch_raises(tmp_path):
+    state = {"a": jnp.zeros((2,))}
+    p = save_checkpoint(str(tmp_path), state, 0)
+    try:
+        restore_checkpoint(p, {"a": jnp.zeros((3,))})
+        assert False
+    except ValueError:
+        pass
+
+
+def test_metric_logger(tmp_path):
+    ml = MetricLogger(str(tmp_path), echo=False)
+    ml.log(1, dist_gen=0.5, entropy=2.0)
+    ml.log(2, dist_gen=0.25, dist_disc=0.1)
+    path = ml.save_distances()
+    ml.close()
+    import json
+
+    recs = [json.loads(l) for l in open(ml.path)]
+    assert recs[0]["dist_gen"] == 0.5 and recs[1]["step"] == 2
+    data = np.load(path)
+    np.testing.assert_allclose(data["mean_dist_gen"], [0.5, 0.25])
+    np.testing.assert_allclose(data["mean_dist_disc"], [0.1])
+
+
+import jax  # noqa: E402  (used by checkpoint tests)

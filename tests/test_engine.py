@@ -1,0 +1,129 @@
+"""Engine integration tests on the 8-virtual-device CPU mesh: SPMD steps,
+matching-mode dispatch, exact resume (SURVEY.md section 4 item (d))."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from otgan_tpu.config import TrainConfig
+from otgan_tpu.data.toy import sample_8gaussians
+from otgan_tpu.engine import Engine
+from otgan_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
+
+
+def _toy_cfg(**kw):
+    base = dict(
+        model="toy_mlp",
+        batch_size=64,
+        sinkhorn_lambda=50.0,
+        nr_sinkhorn_iter=8,
+        learning_rate_gen=1e-4,
+        learning_rate_disc=2e-5,
+        use_pallas=False,
+    )
+    base.update(kw)
+    return TrainConfig(**base)
+
+
+def _data(seed, n=64):
+    return jnp.asarray(sample_8gaussians(np.random.default_rng(seed), n))
+
+
+def test_engine_steps_run_and_are_finite():
+    eng = Engine(_toy_cfg())
+    assert len(eng.mesh.devices.flat) == 8
+    state, nf = eng.init_state(0, eng.shard(_data(0)))
+    assert nf == 16
+    state, met = eng.gen_step(state, eng.shard(_data(1)))
+    assert np.isfinite(float(met.dist)) and np.isfinite(float(met.entropy))
+    state, met2 = eng.disc_step(state, eng.shard(_data(2)))
+    assert np.isfinite(float(met2.dist))
+    assert int(np.asarray(state.step)) == 2
+
+
+def test_matching_mode_dispatch():
+    for kw, expect_entropy_zero in [
+        (dict(no_sinkhorn=True), True),
+        (dict(single_batch=True), False),
+        (dict(), False),
+    ]:
+        eng = Engine(_toy_cfg(**kw))
+        state, _ = eng.init_state(0, eng.shard(_data(0)))
+        state, met = eng.gen_step(state, eng.shard(_data(1)))
+        if expect_entropy_zero:
+            assert float(met.entropy) == 0.0
+        else:
+            assert float(met.entropy) > 0.0
+
+
+def test_train_disc_against_ema():
+    eng = Engine(_toy_cfg(train_disc_against_ema=True))
+    state, _ = eng.init_state(0, eng.shard(_data(0)))
+    state, met = eng.disc_step(state, eng.shard(_data(1)))
+    assert np.isfinite(float(met.dist))
+
+
+def test_gen_step_only_touches_gen_and_ema():
+    eng = Engine(_toy_cfg())
+    state, _ = eng.init_state(0, eng.shard(_data(0)))
+    disc_before = jax.tree.map(np.asarray, state.disc_params)
+    gen_before = jax.tree.map(np.asarray, state.gen_params)
+    state, _ = eng.gen_step(state, eng.shard(_data(1)))
+    # disc unchanged
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(a, np.asarray(b)),
+        disc_before,
+        state.disc_params,
+    )
+    # gen changed
+    changed = jax.tree.leaves(
+        jax.tree.map(
+            lambda a, b: float(np.abs(a - np.asarray(b)).max()),
+            gen_before,
+            state.gen_params,
+        )
+    )
+    assert max(changed) > 0.0
+
+
+def test_exact_resume(tmp_path):
+    """save -> restore -> step == keep -> step (fixes the reference's lossy
+    resume, SURVEY.md section 5.4)."""
+    eng = Engine(_toy_cfg())
+    state, _ = eng.init_state(0, eng.shard(_data(0)))
+    state, _ = eng.gen_step(state, eng.shard(_data(1)))
+
+    path = save_checkpoint(str(tmp_path), state, 1)
+    x2 = _data(2)
+
+    state_a, met_a = eng.gen_step(state, eng.shard(x2))
+    # NOTE: state was donated by the step above; restore into a fresh template
+    eng2 = Engine(_toy_cfg())
+    template, _ = eng2.init_state(0, eng2.shard(_data(0)))
+    restored = restore_checkpoint(path, template)
+    restored = jax.tree.map(jnp.asarray, restored)
+    state_b, met_b = eng2.gen_step(restored, eng2.shard(x2))
+
+    np.testing.assert_allclose(float(met_a.dist), float(met_b.dist), rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-7
+        ),
+        state_a.gen_params,
+        state_b.gen_params,
+    )
+
+
+def test_distance_decreases_with_frozen_critic():
+    """Generator-only steps must reduce the transport distance (with the
+    critic adversarially ascending the metric is not monotone — the full
+    adversarial convergence check lives in test_toy_e2e.py)."""
+    eng = Engine(_toy_cfg(learning_rate_gen=1e-3))
+    rng = np.random.default_rng(0)
+    state, _ = eng.init_state(0, eng.shard(jnp.asarray(sample_8gaussians(rng, 64))))
+    dists = []
+    for it in range(60):
+        x = eng.shard(jnp.asarray(sample_8gaussians(rng, 64)))
+        state, met = eng.gen_step(state, x)
+        dists.append(float(met.dist))
+    assert np.mean(dists[-10:]) < np.mean(dists[:10])

@@ -1,0 +1,108 @@
+"""Model family tests: shapes, feature-head invariants, init/apply
+consistency, EMA-apply (reference models/dcgan.py, models/densenet.py)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from otgan_tpu.models import dcgan, densenet, toy_mlp, get_model
+from otgan_tpu.nn.ema import ema_init, ema_update
+
+
+def test_get_model_switch():
+    assert get_model("dcgan") is dcgan
+    assert get_model("densenet") is densenet
+    try:
+        get_model("vae")
+        assert False
+    except ValueError:
+        pass
+
+
+def test_dcgan_critic_feature_head():
+    """Feature dim 4*4*2048 = 32768, rows L2-normalized
+    (models/dcgan.py:16-19; SURVEY.md: 'feature dim 32768')."""
+    disc = dcgan.make_discriminator()
+    x = jnp.asarray(
+        np.random.default_rng(0).uniform(-1, 1, (2, 32, 32, 3)), jnp.float32
+    )
+    params, f = disc.init(jax.random.PRNGKey(0), x)
+    assert f.shape == (2, 32768)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(f), axis=1), 1.0, atol=1e-5
+    )
+    f2 = disc.apply(params, x)
+    np.testing.assert_allclose(np.asarray(f), np.asarray(f2), atol=2e-3)
+
+
+def test_dcgan_generator_output():
+    gen = dcgan.make_generator()
+    params, x = gen.init(jax.random.PRNGKey(1), jax.random.PRNGKey(2), 2)
+    assert x.shape == (2, 32, 32, 3)
+    x = np.asarray(x)
+    assert np.all(x >= -1.0) and np.all(x <= 1.0)
+    # same rng -> same sample; different rng -> different.
+    # atol: with a 2-sample init batch, data-dependent g = 1/std(pre) can be
+    # large for some units, amplifying f32 reassociation between the init
+    # path (scale output) and apply path (scale kernel) to ~5e-3.
+    x_same = np.asarray(gen.apply(params, jax.random.PRNGKey(2), 2))
+    np.testing.assert_allclose(x, x_same, atol=2e-2)
+    x_diff = np.asarray(gen.apply(params, jax.random.PRNGKey(3), 2))
+    assert np.abs(x - x_diff).max() > 1e-3
+
+
+def test_densenet_small_config():
+    """Small densenet (2 layers/block, 8 filters) exercises list convs,
+    multi-res noise injection, upsample path (models/densenet.py)."""
+    disc = densenet.make_discriminator(layers_per_block=2, filters_per_layer=8)
+    gen = densenet.make_generator(layers_per_block=2, filters_per_layer=8)
+    x = jnp.asarray(
+        np.random.default_rng(1).uniform(-1, 1, (2, 32, 32, 3)), jnp.float32
+    )
+    dparams, f = disc.init(jax.random.PRNGKey(4), x)
+    assert f.ndim == 2 and f.shape[0] == 2
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(f), axis=1), 1.0, atol=1e-5
+    )
+    gparams, xg = gen.init(jax.random.PRNGKey(5), jax.random.PRNGKey(6), 2)
+    assert xg.shape == (2, 32, 32, 3)
+    # apply-consistency
+    f2 = disc.apply(dparams, x)
+    np.testing.assert_allclose(np.asarray(f), np.asarray(f2), atol=2e-3)
+    xg2 = gen.apply(gparams, jax.random.PRNGKey(6), 2)
+    np.testing.assert_allclose(np.asarray(xg), np.asarray(xg2), atol=2e-3)
+
+
+def test_ema_apply_is_plain_apply_with_ema_params():
+    gen = toy_mlp.make_generator()
+    params, _ = gen.init(jax.random.PRNGKey(7), jax.random.PRNGKey(8), 4)
+    ema = ema_init(params)
+    # after init, EMA params == params -> same samples
+    a = np.asarray(gen.apply(params, jax.random.PRNGKey(9), 4))
+    b = np.asarray(gen.apply(ema, jax.random.PRNGKey(9), 4))
+    np.testing.assert_allclose(a, b, atol=0)
+    # after an update toward different params, samples differ
+    other = jax.tree.map(lambda p: p + 1.0, params)
+    ema = ema_update(ema, other, decay=0.5)
+    c = np.asarray(gen.apply(ema, jax.random.PRNGKey(9), 4))
+    assert np.abs(a - c).max() > 1e-4
+
+
+def test_jit_apply():
+    disc = toy_mlp.make_discriminator()
+    x = jnp.ones((8, 2), jnp.float32)
+    params, _ = disc.init(jax.random.PRNGKey(10), x)
+    f = jax.jit(disc.apply)(params, x)
+    assert f.shape == (8, toy_mlp.FEATURE_DIM)
+
+
+def test_remat_matches_plain():
+    disc = toy_mlp.make_discriminator(remat=True)
+    disc2 = toy_mlp.make_discriminator(remat=False)
+    x = jnp.asarray(
+        np.random.default_rng(2).standard_normal((4, 2)), jnp.float32
+    )
+    params, _ = disc2.init(jax.random.PRNGKey(11), x)
+    a = np.asarray(disc.apply(params, x))
+    b = np.asarray(disc2.apply(params, x))
+    np.testing.assert_allclose(a, b, atol=1e-6)

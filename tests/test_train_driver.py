@@ -1,0 +1,83 @@
+"""Training driver (CLI) smoke tests: config parsing, short toy run with
+artifacts (metrics JSONL, sample dumps, checkpoints), resume path."""
+
+import json
+import os
+
+import numpy as np
+
+from otgan_tpu.config import TrainConfig, parse_args
+
+
+def test_parse_args_defaults_and_flags():
+    cfg = parse_args([])
+    assert cfg.sinkhorn_lambda == 500.0 and cfg.nr_sinkhorn_iter == 500
+    cfg = parse_args(
+        [
+            "--model", "densenet",
+            "--batch_size", "128",
+            "--single_batch",
+            "--no_sinkhorn",
+            "--train_disc_against_ema",
+            "--optimizer", "adamax",
+            "--nr_gen_per_disc", "3",
+            "--learning_rate_disc", "0.001",
+        ]
+    )
+    assert cfg.model == "densenet"
+    assert cfg.batch_size == 128
+    assert cfg.single_batch and cfg.no_sinkhorn and cfg.train_disc_against_ema
+    assert cfg.optimizer == "adamax"
+    assert cfg.nr_gen_per_disc == 3
+    assert cfg.learning_rate_disc == 0.001
+
+
+def test_parse_args_nr_gpu_alias():
+    cfg = parse_args(["--nr_gpu", "4"])
+    assert cfg.num_devices == 4
+
+
+def test_train_toy_two_epochs(tmp_path):
+    from otgan_tpu.train import train
+
+    cfg = TrainConfig(
+        model="toy_mlp",
+        batch_size=64,
+        sinkhorn_lambda=50.0,
+        nr_sinkhorn_iter=5,
+        max_epochs=2,
+        save_every_epochs=2,
+        save_dir=str(tmp_path),
+        use_pallas=False,
+    )
+    state = train(cfg)
+    assert int(np.asarray(state.step)) > 0
+    # artifacts: metrics JSONL with per-epoch records
+    recs = [json.loads(l) for l in open(os.path.join(tmp_path, "metrics.jsonl"))]
+    epochs = [r for r in recs if "epoch" in r]
+    assert len(epochs) == 2
+    assert np.isfinite(epochs[-1]["dist_gen"])
+    # toy sample dumps (npy, not png)
+    assert os.path.exists(os.path.join(tmp_path, "sample0.npy"))
+    assert os.path.exists(os.path.join(tmp_path, "ema_sample1.npy"))
+    # checkpoint written at epoch 2 boundary
+    from otgan_tpu.utils.checkpoint import latest_checkpoint
+
+    assert latest_checkpoint(str(tmp_path)) is not None
+
+
+def test_train_resume(tmp_path):
+    from otgan_tpu.train import train
+
+    kw = dict(
+        model="toy_mlp",
+        batch_size=64,
+        sinkhorn_lambda=50.0,
+        nr_sinkhorn_iter=5,
+        save_dir=str(tmp_path),
+        use_pallas=False,
+        save_every_epochs=2,
+    )
+    train(TrainConfig(max_epochs=2, **kw))
+    state = train(TrainConfig(max_epochs=3, load_params=True, **kw))
+    assert int(np.asarray(state.step)) > 0
