@@ -53,6 +53,10 @@ class TrainConfig:
     # The toy pipeline uses plain init (notebook xavier), see engine.
     data_dependent_init: bool = True
     use_pallas: bool = True  # fused Sinkhorn kernel when matrices fit VMEM
+    # explicit shard_map matching on multi-device meshes: row-sharded cost +
+    # collectively-normalized Sinkhorn (no chip holds a full N x N matrix).
+    # False = let GSPMD partition the global matcher automatically.
+    sharded_matching: bool = True
     remat: bool = False  # jax.checkpoint over model blocks
     profile_dir: str = ""  # non-empty: write jax.profiler traces here
     log_every_steps: int = 0  # 0 = log per epoch only (reference behavior)

@@ -84,6 +84,17 @@ class Engine:
         if cfg.no_sinkhorn:
             shard = max(cfg.batch_size // max(n_dev, 1), 1)
             return functools.partial(match_random, shard_size=shard)
+        if cfg.sharded_matching and n_dev > 1 and not cfg.single_batch:
+            from otgan_tpu.parallel.matching_sharded import (
+                make_sharded_two_batch_matcher,
+            )
+
+            return make_sharded_two_batch_matcher(
+                self.mesh,
+                cfg.sinkhorn_lambda,
+                cfg.nr_sinkhorn_iter,
+                cost_fn=self.cost_fn,
+            )
         use_pallas = cfg.use_pallas and jax.default_backend() == "tpu"
         match = match_single_batch if cfg.single_batch else match_two_batch
         return functools.partial(

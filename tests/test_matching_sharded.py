@@ -1,0 +1,108 @@
+"""Sharded matcher == global matcher (modulo the documented batch-half
+permutation), on the 8-virtual-device CPU mesh (SURVEY.md section 4 (d))."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from otgan_tpu.ops.matching import calc_distance, match_two_batch
+from otgan_tpu.parallel.matching_sharded import (
+    make_sharded_two_batch_matcher,
+    sharded_permutation,
+)
+from otgan_tpu.parallel.mesh import make_mesh, shard_batch
+
+LAM, ITERS = 50.0, 40
+
+
+def _features(seed, n, d=32):
+    rng = np.random.default_rng(seed)
+    f = rng.standard_normal((n, d)).astype(np.float32)
+    return f / np.linalg.norm(f, axis=1, keepdims=True)
+
+
+def test_sharded_matches_global_up_to_permutation():
+    B = 128
+    mesh = make_mesh(8)
+    fa = _features(0, B)
+    fb = _features(1, B)
+
+    matcher = make_sharded_two_batch_matcher(mesh, LAM, ITERS)
+    got = matcher(shard_batch(mesh, jnp.asarray(fa)), shard_batch(mesh, jnp.asarray(fb)))
+
+    perm = np.asarray(sharded_permutation(B, 8))
+    want = match_two_batch(
+        jnp.asarray(fa[perm]), jnp.asarray(fb[perm]), LAM, ITERS
+    )
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(B)
+
+    for g, w in [
+        (got.a_a, want.a_a),
+        (got.b_b, want.b_b),
+        (got.a_b, want.a_b),
+        (got.b_a, want.b_a),
+    ]:
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w)[inv], atol=2e-4
+        )
+    np.testing.assert_allclose(
+        float(got.entropy), float(want.entropy), atol=1e-4
+    )
+
+
+def test_sharded_distance_matches_global():
+    """calc_distance is permutation-invariant -> sharded pipeline must give
+    the same reported MED distance as the global one."""
+    B = 64
+    mesh = make_mesh(8)
+    fa = _features(2, B)
+    fb = _features(3, B)
+    matcher = make_sharded_two_batch_matcher(mesh, LAM, ITERS)
+    got = matcher(shard_batch(mesh, jnp.asarray(fa)), shard_batch(mesh, jnp.asarray(fb)))
+    d_sharded = calc_distance(jnp.asarray(fa), jnp.asarray(fb), got)
+
+    perm = np.asarray(sharded_permutation(B, 8))
+    want = match_two_batch(jnp.asarray(fa[perm]), jnp.asarray(fb[perm]), LAM, ITERS)
+    d_global = calc_distance(jnp.asarray(fa[perm]), jnp.asarray(fb[perm]), want)
+    np.testing.assert_allclose(float(d_sharded), float(d_global), atol=1e-5)
+
+
+def test_sharded_batch_divisibility_check():
+    mesh = make_mesh(8)
+    matcher = make_sharded_two_batch_matcher(mesh, LAM, 5)
+    f = jnp.asarray(_features(4, 24))  # 24 not divisible by 16
+    try:
+        matcher(f, f)
+        assert False
+    except ValueError as e:
+        assert "divisible" in str(e)
+
+
+def test_sharded_gradient_path():
+    """jax.grad flows through the raw features (Sinkhorn detached), matching
+    the global matcher's gradient semantics."""
+    from otgan_tpu.ops.losses import med_generator_loss
+
+    B = 64
+    mesh = make_mesh(8)
+    fa = jnp.asarray(_features(5, B))
+    fb = jnp.asarray(_features(6, B))
+    matcher = make_sharded_two_batch_matcher(mesh, LAM, 20)
+
+    def loss_sharded(w):
+        f = fa * w
+        m = matcher(f, fb)
+        return med_generator_loss(f, m)
+
+    perm = np.asarray(sharded_permutation(B, 8))
+    fa_p, fb_p = jnp.asarray(np.asarray(fa)[perm]), jnp.asarray(np.asarray(fb)[perm])
+
+    def loss_global(w):
+        f = fa_p * w
+        m = match_two_batch(f, fb_p, LAM, 20)
+        return med_generator_loss(f, m)
+
+    g_s = jax.grad(loss_sharded)(jnp.ones(()))
+    g_g = jax.grad(loss_global)(jnp.ones(()))
+    np.testing.assert_allclose(float(g_s), float(g_g), rtol=1e-4)
