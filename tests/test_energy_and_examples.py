@@ -1,0 +1,60 @@
+"""1-D energy distance parity + toy-baselines example smoke tests."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from otgan_tpu.ops.energy import energy_distance, weight_decay
+
+
+def _np_energy(f_sample, f_data):
+    """Numpy transcription of the reference semantics (utils/nn.py:6-17)."""
+    grads = np.zeros_like(f_sample)
+    for j in range(f_sample.shape[1]):
+        si = np.argsort(f_sample[:, j])
+        di = np.argsort(f_data[:, j])
+        grads[si, j] = f_sample[si, j] - f_data[di, j]
+    return float(np.mean(grads**2)), grads
+
+
+def test_energy_distance_parity():
+    rng = np.random.default_rng(0)
+    fs = rng.standard_normal((64, 8)).astype(np.float32)
+    fd = rng.standard_normal((64, 8)).astype(np.float32)
+    want_loss, want_grads = _np_energy(fs, fd)
+    loss, grads = energy_distance(jnp.asarray(fs), jnp.asarray(fd))
+    np.testing.assert_allclose(float(loss), want_loss, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(grads), want_grads, atol=1e-6)
+
+
+def test_energy_distance_identical_inputs_zero():
+    rng = np.random.default_rng(1)
+    f = jnp.asarray(rng.standard_normal((32, 4)), jnp.float32)
+    loss, grads = energy_distance(f, f)
+    assert float(loss) < 1e-12
+    np.testing.assert_allclose(np.asarray(grads), 0.0, atol=1e-7)
+
+
+def test_weight_decay_matrices_only():
+    params = {
+        "w": jnp.ones((2, 3)),  # counted: 6
+        "b": jnp.ones((4,)),  # skipped (ndim < 2)
+        "k": jnp.full((2, 1, 1, 2), 2.0),  # counted: 4 * 4 = 16
+    }
+    assert float(weight_decay(params)) == 22.0
+
+
+def test_toy_baselines_smoke():
+    """Each objective runs a few steps without blowing up."""
+    from examples.toy_baselines import main
+
+    for model in ("med_gan", "gan", "dan_s", "dan_energy"):
+        gp, dp = main(
+            [
+                "--model", model,
+                "--steps", "4",
+                "--batch_size", "32",
+                "--save_dir", "/tmp/toy_baselines_test",
+            ]
+        )
+        for p in gp:
+            assert np.all(np.isfinite(np.asarray(p["w"])))

@@ -1,0 +1,150 @@
+"""Inception-score eval tests: score math (reference utils/inception.py:
+46-52 semantics), network forward, converter mapping, API guards."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from otgan_tpu.eval import inception as inc
+from otgan_tpu.eval import inception_net
+from otgan_tpu.eval.convert_torch_inception import (
+    _BRANCH_MAP,
+    _PART_MAP,
+    convert_state_dict,
+)
+
+
+def test_score_math_uniform_is_one():
+    preds = np.full((500, 10), 0.1)
+    mean, std = inc.inception_score_from_preds(preds, splits=10)
+    assert abs(mean - 1.0) < 1e-9 and std < 1e-9
+
+
+def test_score_math_confident_diverse_is_nclasses():
+    n, c = 1000, 10
+    preds = np.full((n, c), 1e-12)
+    preds[np.arange(n), np.arange(n) % c] = 1.0
+    preds /= preds.sum(1, keepdims=True)
+    mean, _ = inc.inception_score_from_preds(preds, splits=10)
+    assert abs(mean - c) / c < 1e-3
+
+
+def test_score_math_collapsed_is_one():
+    """Mode collapse: every image classified identically -> score 1."""
+    n, c = 300, 10
+    preds = np.full((n, c), 1e-12)
+    preds[:, 3] = 1.0
+    preds /= preds.sum(1, keepdims=True)
+    mean, _ = inc.inception_score_from_preds(preds, splits=10)
+    assert abs(mean - 1.0) < 1e-3
+
+
+def test_network_forward_shape():
+    rng = np.random.default_rng(0)
+    params = inception_net.init_params(rng, num_classes=1000)
+    x = jnp.asarray(rng.uniform(-1, 1, (1, 299, 299, 3)), jnp.float32)
+    logits = inception_net.apply(params, x)
+    assert logits.shape == (1, 1000)
+    assert bool(jnp.isfinite(logits).all())
+
+
+def test_get_inception_score_end_to_end(monkeypatch):
+    """Full API with random weights and small batches."""
+    monkeypatch.setattr(inc, "_BATCH", 2)
+    rng = np.random.default_rng(1)
+    params = inception_net.init_params(rng, num_classes=20)
+    images = rng.uniform(0, 255, (4, 32, 32, 3)).astype(np.float32)
+    mean, std = inc.get_inception_score(images, splits=2, params=params)
+    assert np.isfinite(mean) and np.isfinite(std) and mean >= 1.0
+
+
+def test_get_inception_score_range_guard():
+    images = np.zeros((4, 32, 32, 3), np.float32)  # [-1,1]-style input
+    with pytest.raises(AssertionError):
+        inc.get_inception_score(images, splits=2, params={})
+
+
+def test_missing_weights_raise_with_instructions(monkeypatch, tmp_path):
+    monkeypatch.setattr(inc, "_params_cache", None)
+    monkeypatch.setenv("OTGAN_INCEPTION_WEIGHTS", str(tmp_path / "nope.npz"))
+    with pytest.raises(FileNotFoundError) as e:
+        inc.load_params()
+    assert "convert_torch_inception" in str(e.value)
+
+
+def _fake_torch_state_dict(spec):
+    """Invert the converter mapping: our spec -> torchvision-style names."""
+    inv_branch = {v: k for k, v in _BRANCH_MAP.items()}
+    inv_part = {v: k for k, v in _PART_MAP.items()}
+    rng = np.random.default_rng(2)
+    sd = {}
+    for block, sub in spec.items():
+        if block == "fc":
+            sd["fc.weight"] = rng.standard_normal(sub["w"][::-1]).astype(np.float32)
+            sd["fc.bias"] = rng.standard_normal(sub["b"]).astype(np.float32)
+            continue
+        if isinstance(next(iter(sub.values())), tuple):  # plain conv block
+            for part, shape in sub.items():
+                tname = inv_part[part]
+                arr_shape = (
+                    (shape[3], shape[2], shape[0], shape[1])  # HWIO->OIHW
+                    if part == "w"
+                    else shape
+                )
+                sd[f"{block}.{tname}"] = (0.03 * rng.standard_normal(arr_shape)).astype(np.float32)
+            continue
+        for branch, params in sub.items():
+            bname = inv_branch[branch]
+            for part, shape in params.items():
+                tname = inv_part[part]
+                arr_shape = (
+                    (shape[3], shape[2], shape[0], shape[1])
+                    if part == "w"
+                    else shape
+                )
+                sd[f"{block}.{bname}.{tname}"] = (
+                    0.03 * rng.standard_normal(arr_shape)
+                ).astype(np.float32)
+    return sd
+
+
+def test_converter_mapping_round_trip():
+    spec = inception_net.param_spec(num_classes=1000)
+    sd = _fake_torch_state_dict(spec)
+    # noise entries the converter must skip
+    sd["AuxLogits.conv0.conv.weight"] = np.zeros((1,), np.float32)
+    sd["Mixed_5b.branch1x1.bn.num_batches_tracked"] = np.zeros((), np.int64)
+    flat = convert_state_dict(sd)
+
+    def check(spec, prefix=""):
+        for k, v in spec.items():
+            key = f"{prefix}{k}"
+            if isinstance(v, tuple):
+                assert key in flat, f"missing {key}"
+                assert tuple(flat[key].shape) == v, (key, flat[key].shape, v)
+            else:
+                check(v, prefix=f"{key}/")
+
+    check(spec)
+
+
+def test_load_params_from_converted_npz(tmp_path, monkeypatch):
+    """convert -> savez -> load_params -> apply: the full weight path."""
+    spec = inception_net.param_spec(num_classes=1000)
+    flat = convert_state_dict(_fake_torch_state_dict(spec))
+    # make BN vars positive (they are variances)
+    for k in list(flat):
+        if k.endswith("/var"):
+            flat[k] = np.abs(flat[k]) + 0.5
+    path = tmp_path / "w.npz"
+    np.savez(path, **flat)
+    monkeypatch.setattr(inc, "_params_cache", None)
+    monkeypatch.setenv("OTGAN_INCEPTION_WEIGHTS", str(path))
+    params = inc.load_params()
+    x = jnp.asarray(
+        np.random.default_rng(3).uniform(-1, 1, (1, 299, 299, 3)), jnp.float32
+    )
+    logits = inception_net.apply(params, x)
+    assert logits.shape == (1, 1000) and bool(jnp.isfinite(logits).all())
+    monkeypatch.setattr(inc, "_params_cache", None)
