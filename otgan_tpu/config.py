@@ -52,6 +52,9 @@ class TrainConfig:
     # (g=1, b=0; its init-pass assigns never run, SURVEY.md 3.1 step 8).
     # The toy pipeline uses plain init (notebook xavier), see engine.
     data_dependent_init: bool = True
+    # model matmul/conv compute dtype ("bfloat16" = 4x f32 MXU rate, f32
+    # accumulation; params, losses, and ALL matching/Sinkhorn math stay f32)
+    compute_dtype: str = "bfloat16"
     use_pallas: bool = True  # fused Sinkhorn kernel when matrices fit VMEM
     # explicit shard_map matching on multi-device meshes: row-sharded cost +
     # collectively-normalized Sinkhorn (no chip holds a full N x N matrix).
@@ -62,14 +65,18 @@ class TrainConfig:
     log_every_steps: int = 0  # 0 = log per epoch only (reference behavior)
 
     def model_opts(self) -> dict:
+        common = {
+            "nonlinearity": self.nonlinearity,
+            "remat": self.remat,
+            "compute_dtype": self.compute_dtype,
+        }
         if self.model == "densenet":
             return {
                 "layers_per_block": self.layers_per_block,
                 "filters_per_layer": self.filters_per_layer,
-                "nonlinearity": self.nonlinearity,
-                "remat": self.remat,
+                **common,
             }
-        return {"nonlinearity": self.nonlinearity, "remat": self.remat}
+        return common
 
 
 def _add_bool_flag(p: argparse.ArgumentParser, name: str, default: bool):

@@ -124,12 +124,14 @@ def make_discriminator(
     filters_per_layer: int = 16,
     nonlinearity: str = "crelu",
     remat: bool = False,
+    compute_dtype="float32",
 ):
     return Module(
         lambda scope, x: disc_spec(
             scope, x, layers_per_block, filters_per_layer, nonlinearity
         ),
         remat=remat,
+        compute_dtype=compute_dtype,
     )
 
 
@@ -138,6 +140,7 @@ def make_generator(
     filters_per_layer: int = 16,
     nonlinearity: str = "crelu",
     remat: bool = False,
+    compute_dtype="float32",
 ):
     return Module(
         lambda scope, rng, batch_size: gen_spec(
@@ -145,4 +148,5 @@ def make_generator(
             nonlinearity,
         ),
         remat=remat,
+        compute_dtype=compute_dtype,
     )

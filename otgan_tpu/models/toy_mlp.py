@@ -38,16 +38,17 @@ def gen_spec(
     return h
 
 
-def make_discriminator(nonlinearity: str = "relu", remat: bool = False):
+def make_discriminator(nonlinearity: str = "relu", remat: bool = False, compute_dtype="float32"):
     return Module(
-        lambda scope, x: disc_spec(scope, x, nonlinearity), remat=remat
+        lambda scope, x: disc_spec(scope, x, nonlinearity), remat=remat, compute_dtype=compute_dtype
     )
 
 
-def make_generator(nonlinearity: str = "relu", remat: bool = False):
+def make_generator(nonlinearity: str = "relu", remat: bool = False, compute_dtype="float32"):
     return Module(
         lambda scope, rng, batch_size: gen_spec(
             scope, rng, batch_size, nonlinearity
         ),
         remat=remat,
+        compute_dtype=compute_dtype,
     )

@@ -129,6 +129,11 @@ class Scope:
     # assign ops never execute, SURVEY.md section 3.1 step 8); without
     # weight norm V gets He/Glorot scale sqrt(2/fan_in) instead.
     data_init: bool = True
+    # matmul/conv compute dtype: params and weight-norm math stay float32;
+    # activations and MXU ops run in this dtype (bfloat16 = 4x f32 MXU rate
+    # on TPU, f32 accumulation via preferred_element_type). The OT matching
+    # core is always float32 regardless (lam=500 amplifies feature error).
+    compute_dtype: Any = jnp.float32
 
     def next_name(self, base: str) -> str:
         # reference get_name (utils/nn.py:95-100)
@@ -240,12 +245,15 @@ def dense(
     name = scope.next_name("dense")
     xin = apply_pre_activation(x, pre_activation, axis=-1)
     v_shape = (xin.shape[-1], num_units)
+    cd = scope.compute_dtype
     return _wn_params(
         scope,
         name,
         v_shape,
         num_units,
-        lambda w: jnp.matmul(xin, w),
+        lambda w: jnp.matmul(xin.astype(cd), w.astype(cd)).astype(
+            jnp.float32  # upcast after: keeps fwd/bwd conv dtypes uniform
+        ),
         init_scale,
         weight_norm,
         use_b,
@@ -291,15 +299,20 @@ def conv2d(
         xin.shape, v_shape, ("NHWC", "HWIO", "NHWC")
     )
 
+    cd = scope.compute_dtype
+
     def f(w):
-        return jax.lax.conv_general_dilated(
-            xin,
-            w,
+        # uniform-dtype conv (TPU accumulates f32 internally for bf16),
+        # upcast after — mixed in/out dtypes break the conv VJP rule
+        out = jax.lax.conv_general_dilated(
+            xin.astype(cd),
+            w.astype(cd),
             window_strides=tuple(stride),
             padding=pad,
             rhs_dilation=(dilate, dilate),
             dimension_numbers=dn,
         )
+        return out.astype(jnp.float32)
 
     return _wn_params(
         scope,
@@ -336,20 +349,26 @@ class Module:
     -> out`` is the pure forward. EMA sampling == ``apply(ema_params, ...)``.
     """
 
-    def __init__(self, spec: Callable, remat: bool = False):
+    def __init__(self, spec: Callable, remat: bool = False,
+                 compute_dtype: Any = jnp.float32):
         self._spec = spec
         self._remat = remat
+        self._compute_dtype = jnp.dtype(compute_dtype)
 
     def init(self, rng: Array, *args, data_dependent: bool = True, **kwargs):
         scope = Scope(
-            mode="init", params={}, rng=rng, data_init=data_dependent
+            mode="init", params={}, rng=rng, data_init=data_dependent,
+            compute_dtype=self._compute_dtype,
         )
         out = self._spec(scope, *args, **kwargs)
         return scope.params, out
 
     def apply(self, params: Dict[str, Any], *args, **kwargs):
         def run(params, *a):
-            scope = Scope(mode="apply", params=params)
+            scope = Scope(
+                mode="apply", params=params,
+                compute_dtype=self._compute_dtype,
+            )
             return self._spec(scope, *a, **kwargs)
 
         if self._remat:
@@ -357,5 +376,7 @@ class Module:
         return run(params, *args)
 
 
-def make_module(spec: Callable, remat: bool = False) -> Module:
-    return Module(spec, remat=remat)
+def make_module(
+    spec: Callable, remat: bool = False, compute_dtype: Any = jnp.float32
+) -> Module:
+    return Module(spec, remat=remat, compute_dtype=compute_dtype)

@@ -106,3 +106,17 @@ def test_remat_matches_plain():
     a = np.asarray(disc.apply(params, x))
     b = np.asarray(disc2.apply(params, x))
     np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_bf16_compute_close_to_f32():
+    """bfloat16 compute (f32 accumulation) stays close to f32 on the
+    L2-normalized critic features; matching math remains f32 regardless."""
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.uniform(-1, 1, (2, 32, 32, 3)), jnp.float32)
+    d32 = dcgan.make_discriminator(compute_dtype="float32")
+    d16 = dcgan.make_discriminator(compute_dtype="bfloat16")
+    params, f32 = d32.init(jax.random.PRNGKey(12), x, data_dependent=False)
+    f16 = d16.apply(params, x)
+    assert f16.dtype == jnp.float32  # accumulation/output stays f32
+    cos = float(jnp.sum(f32 * f16, axis=-1).min())
+    assert cos > 0.999, f"bf16 features diverged: min cosine {cos}"
