@@ -110,11 +110,26 @@ class DataLoader:
         prefetch: int = 2,
         data: Optional[np.ndarray] = None,
         labels: Optional[np.ndarray] = None,
+        native: bool = True,
     ):
+        self._u8 = False
         if data is None:
-            data, labels = load(os.path.join(data_dir, "cifar-10-python"), subset)
-            data = to_nhwc_float(data)
-        self.data = np.ascontiguousarray(data, np.float32)
+            from otgan_tpu.data import native as native_mod
+
+            raw, labels = load(os.path.join(data_dir, "cifar-10-python"), subset)
+            if native:
+                # keep the dataset uint8 NHWC (4x less RAM than the
+                # reference's float copy, train.py:158); batches convert in
+                # the fused native kernel at assembly time
+                data = native_mod.nchw_to_nhwc_u8(raw)
+                self._u8 = True
+            else:
+                data = to_nhwc_float(raw)
+        if data.dtype == np.uint8:
+            self._u8 = True
+            self.data = np.ascontiguousarray(data)
+        else:
+            self.data = np.ascontiguousarray(data, np.float32)
         self.labels = labels
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -138,9 +153,19 @@ class DataLoader:
         return self.rng.permutation(n) if self.shuffle else np.arange(n)
 
     def _make_batch(self, idx: np.ndarray):
-        x = self.data[idx]
-        if self.augment_flip:
-            x = random_flip(x, self.rng)
+        if self._u8:
+            from otgan_tpu.data import native as native_mod
+
+            flips = (
+                (self.rng.random(idx.shape[0]) < 0.5).astype(np.uint8)
+                if self.augment_flip
+                else None
+            )
+            x = native_mod.assemble_batch_u8(self.data, idx, flips)
+        else:
+            x = self.data[idx]
+            if self.augment_flip:
+                x = random_flip(x, self.rng)
         if self.return_labels:
             return x, self.labels[idx]
         return x

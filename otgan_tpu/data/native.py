@@ -1,0 +1,114 @@
+"""ctypes bindings for the native host-side data kernels (runtime/).
+
+Builds ``runtime/otgan_host.cpp`` with g++ on first use (cached as
+``runtime/libotgan_host.so``); every entry point has a numpy fallback so the
+package works without a toolchain. See ``runtime/otgan_host.cpp`` for what
+the kernels fuse and why.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+import numpy as np
+
+_RUNTIME_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "runtime",
+)
+_SRC = os.path.join(_RUNTIME_DIR, "otgan_host.cpp")
+_SO = os.path.join(_RUNTIME_DIR, "libotgan_host.so")
+
+_lib = None
+_lib_lock = threading.Lock()
+_build_failed = False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _build_failed
+    if _lib is not None or _build_failed:
+        return _lib
+    with _lib_lock:
+        if _lib is not None or _build_failed:
+            return _lib
+        try:
+            if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+                subprocess.run(
+                    [
+                        "g++", "-O3", "-march=native", "-shared", "-fPIC",
+                        "-std=c++17", "-pthread", _SRC, "-o", _SO,
+                    ],
+                    check=True,
+                    capture_output=True,
+                )
+            lib = ctypes.CDLL(_SO)
+            lib.otgan_assemble_batch_u8.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_int64, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_void_p, ctypes.c_int,
+            ]
+            lib.otgan_nchw_to_nhwc_u8.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_void_p,
+            ]
+            _lib = lib
+        except Exception as e:  # toolchain missing / sandboxed: fall back
+            print(f"otgan_host native build unavailable ({e}); using numpy")
+            _build_failed = True
+    return _lib
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+def assemble_batch_u8(
+    data_u8: np.ndarray,
+    indices: np.ndarray,
+    flip_mask: Optional[np.ndarray],
+    n_threads: int = 0,
+) -> np.ndarray:
+    """Fused gather + hflip + uint8 -> [-1, 1] float32 (NHWC)."""
+    assert data_u8.dtype == np.uint8 and data_u8.ndim == 4
+    n, h, w, c = data_u8.shape
+    indices = np.ascontiguousarray(indices, np.int64)
+    batch = indices.shape[0]
+    out = np.empty((batch, h, w, c), np.float32)
+    lib = _load()
+    if lib is not None:
+        data_u8 = np.ascontiguousarray(data_u8)
+        fm = (
+            np.ascontiguousarray(flip_mask, np.uint8)
+            if flip_mask is not None
+            else None
+        )
+        lib.otgan_assemble_batch_u8(
+            data_u8.ctypes.data, indices.ctypes.data,
+            fm.ctypes.data if fm is not None else None,
+            batch, h, w, c, out.ctypes.data, n_threads,
+        )
+        return out
+    # numpy fallback (identical math)
+    x = data_u8[indices].astype(np.float32) / 127.5 - 1.0
+    if flip_mask is not None:
+        m = flip_mask.astype(bool)
+        x[m] = x[m, :, ::-1, :]
+    return x
+
+
+def nchw_to_nhwc_u8(src: np.ndarray) -> np.ndarray:
+    assert src.dtype == np.uint8 and src.ndim == 4
+    n, c, h, w = src.shape
+    lib = _load()
+    if lib is not None:
+        src = np.ascontiguousarray(src)
+        out = np.empty((n, h, w, c), np.uint8)
+        lib.otgan_nchw_to_nhwc_u8(
+            src.ctypes.data, n, c, h, w, out.ctypes.data
+        )
+        return out
+    return np.ascontiguousarray(np.transpose(src, (0, 2, 3, 1)))

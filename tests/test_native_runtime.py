@@ -1,0 +1,83 @@
+"""Native host-pipeline kernels (runtime/otgan_host.cpp): build via ctypes,
+bit-exact parity with the numpy path, and DataLoader integration."""
+
+import numpy as np
+import pytest
+
+from otgan_tpu.data import native
+from otgan_tpu.data.cifar10 import DataLoader
+
+
+def _dataset(n=64):
+    rng = np.random.default_rng(0)
+    return rng.integers(0, 256, (n, 8, 6, 3)).astype(np.uint8)
+
+
+def test_native_builds():
+    assert native.native_available(), "g++ build of runtime kernels failed"
+
+
+def test_assemble_parity_with_numpy():
+    data = _dataset()
+    rng = np.random.default_rng(1)
+    idx = rng.integers(0, 64, 32)
+    flips = (rng.random(32) < 0.5).astype(np.uint8)
+
+    got = native.assemble_batch_u8(data, idx, flips)
+
+    want = data[idx].astype(np.float32) / 127.5 - 1.0
+    m = flips.astype(bool)
+    want[m] = want[m, :, ::-1, :]
+    np.testing.assert_array_equal(got, want)  # bit-exact
+
+    # no flips
+    got2 = native.assemble_batch_u8(data, idx, None)
+    np.testing.assert_array_equal(
+        got2, data[idx].astype(np.float32) / 127.5 - 1.0
+    )
+
+
+def test_assemble_multithreaded_matches_single():
+    data = _dataset(256)
+    rng = np.random.default_rng(2)
+    idx = rng.integers(0, 256, 128)
+    flips = (rng.random(128) < 0.5).astype(np.uint8)
+    a = native.assemble_batch_u8(data, idx, flips, n_threads=1)
+    b = native.assemble_batch_u8(data, idx, flips, n_threads=4)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_nchw_to_nhwc_parity():
+    rng = np.random.default_rng(3)
+    src = rng.integers(0, 256, (5, 3, 8, 6)).astype(np.uint8)
+    got = native.nchw_to_nhwc_u8(src)
+    np.testing.assert_array_equal(got, np.transpose(src, (0, 2, 3, 1)))
+
+
+def test_dataloader_uint8_path():
+    data = _dataset(128)  # uint8 NHWC triggers the native path
+    dl = DataLoader(
+        "/nonexistent",
+        batch_size=32,
+        data=data,
+        labels=np.zeros((128,), np.uint8),
+        rng=np.random.default_rng(4),
+    )
+    batches = list(dl.epoch())
+    assert len(batches) == 4
+    for b in batches:
+        assert b.dtype == np.float32
+        assert b.min() >= -1.0 and b.max() <= 1.0
+
+
+def test_dataloader_uint8_matches_float_path():
+    data = _dataset(64)
+    kw = dict(batch_size=32, labels=np.zeros((64,), np.uint8),
+              shuffle=False, augment_flip=False)
+    dl_u8 = DataLoader("/nonexistent", data=data, rng=np.random.default_rng(5), **kw)
+    dl_f32 = DataLoader(
+        "/nonexistent", data=data.astype(np.float32) / 127.5 - 1.0,
+        rng=np.random.default_rng(5), **kw,
+    )
+    for a, b in zip(dl_u8.epoch(), dl_f32.epoch()):
+        np.testing.assert_array_equal(a, b)
