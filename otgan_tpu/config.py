@@ -63,6 +63,10 @@ class TrainConfig:
     remat: bool = False  # jax.checkpoint over model blocks
     profile_dir: str = ""  # non-empty: write jax.profiler traces here
     log_every_steps: int = 0  # 0 = log per epoch only (reference behavior)
+    # CIFAR-shaped random data instead of downloading (zero-egress smoke
+    # runs / benchmarking; the reference always needs the real download)
+    synthetic_data: bool = False
+    synthetic_size: int = 5120
 
     def model_opts(self) -> dict:
         common = {

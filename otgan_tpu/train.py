@@ -74,12 +74,24 @@ def train(cfg: TrainConfig) -> TrainState:
         n_batches = 78  # ~40000/512, one notebook "epoch"
         loader = None
     else:
-        loader = DataLoader(
-            cfg.data_dir,
-            subset="train",
-            batch_size=cfg.batch_size,
-            rng=data_rng,
-        )
+        if cfg.synthetic_data:
+            synth = data_rng.integers(
+                0, 256, (cfg.synthetic_size, 32, 32, 3)
+            ).astype(np.uint8)
+            loader = DataLoader(
+                cfg.data_dir,
+                batch_size=cfg.batch_size,
+                rng=data_rng,
+                data=synth,
+                labels=np.zeros((cfg.synthetic_size,), np.uint8),
+            )
+        else:
+            loader = DataLoader(
+                cfg.data_dir,
+                subset="train",
+                batch_size=cfg.batch_size,
+                rng=data_rng,
+            )
         x_init = next(iter(loader.epoch()))
         n_batches = loader.num_batches
 

@@ -148,3 +148,44 @@ def test_load_params_from_converted_npz(tmp_path, monkeypatch):
     logits = inception_net.apply(params, x)
     assert logits.shape == (1, 1000) and bool(jnp.isfinite(logits).all())
     monkeypatch.setattr(inc, "_params_cache", None)
+
+
+# ---------------------------------------------------------------------------
+# FID
+# ---------------------------------------------------------------------------
+
+
+def test_frechet_distance_identical_is_zero():
+    from otgan_tpu.eval.fid import frechet_distance, feature_statistics
+
+    rng = np.random.default_rng(5)
+    f = rng.standard_normal((500, 16))
+    mu, sig = feature_statistics(f)
+    assert abs(frechet_distance(mu, sig, mu, sig)) < 1e-8
+
+
+def test_frechet_distance_gaussian_analytic():
+    """For isotropic Gaussians N(m1, a*I), N(m2, b*I):
+    FID = ||m1-m2||^2 + d*(a + b - 2 sqrt(ab))."""
+    from otgan_tpu.eval.fid import frechet_distance
+
+    d = 8
+    m1, m2 = np.zeros(d), np.full(d, 0.5)
+    a, b = 2.0, 0.5
+    got = frechet_distance(m1, a * np.eye(d), m2, b * np.eye(d))
+    want = 0.25 * d + d * (a + b - 2 * np.sqrt(a * b))
+    assert abs(got - want) < 1e-9
+
+
+def test_fid_end_to_end_random_weights(monkeypatch):
+    from otgan_tpu.eval import fid as fid_mod
+
+    monkeypatch.setattr(fid_mod, "_BATCH", 2)
+    rng = np.random.default_rng(6)
+    params = inception_net.init_params(rng, num_classes=10)
+    a = rng.uniform(0, 255, (6, 16, 16, 3)).astype(np.float32)
+    b = rng.uniform(0, 255, (6, 16, 16, 3)).astype(np.float32)
+    v_same = fid_mod.get_fid(a, a, params=params)
+    v_diff = fid_mod.get_fid(a, b, params=params)
+    assert abs(v_same) < 1e-4
+    assert np.isfinite(v_diff) and v_diff >= 0.0
