@@ -102,8 +102,27 @@ def parse_args(argv: Optional[list] = None) -> TrainConfig:
             )
     # reference-compat alias: --nr_gpu maps onto num_devices (train.py:23)
     p.add_argument("--nr_gpu", type=int, default=None, help="alias for --num_devices")
+    # presets reproducing the two reference drivers' configurations:
+    # train_py      = train.py defaults (global batch 625*8=5000, 5:1 G:D)
+    # model_saving  = train_with_model_saving.py (1000*8=8000, 3:1; its
+    #                 full-variable Saver is this framework's default)
+    p.add_argument(
+        "--preset", choices=["train_py", "model_saving"], default=None
+    )
     ns = p.parse_args(argv)
     if ns.nr_gpu is not None:
         ns.num_devices = ns.nr_gpu
     del ns.nr_gpu
+    explicit = {a for a in (argv if argv is not None else __import__("sys").argv[1:])}
+    if ns.preset == "train_py":
+        if "--batch_size" not in explicit:
+            ns.batch_size = 5000
+        if "--nr_gen_per_disc" not in explicit:
+            ns.nr_gen_per_disc = 5
+    elif ns.preset == "model_saving":
+        if "--batch_size" not in explicit:
+            ns.batch_size = 8000
+        if "--nr_gen_per_disc" not in explicit:
+            ns.nr_gen_per_disc = 3
+    del ns.preset
     return TrainConfig(**vars(ns))

@@ -71,3 +71,89 @@ def save_tile_img(imgs: np.ndarray, path: str) -> None:
 
     arr = ((np.asarray(imgs) + 1.0) * 127.5).astype(np.uint8)
     Image.fromarray(arr).save(path)
+
+
+def plot_img(img: np.ndarray, title: Optional[str] = None):
+    """Single-image matplotlib display (``utils/plotting.py:15-21``);
+    imported lazily so the training path never needs matplotlib."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from matplotlib import pyplot as plt
+
+    plt.figure()
+    plt.imshow(img, interpolation="nearest")
+    if title is not None:
+        plt.title(title)
+    plt.axis("off")
+    plt.tight_layout()
+    return plt.gcf()
+
+
+def conv_filter_tile(filters: np.ndarray) -> np.ndarray:
+    """Tile conv filters (N, C, H, W): RGB filters as color tiles, otherwise
+    one row per filter / one column per channel (``utils/plotting.py:76-89``)."""
+    n_filters, n_channels, height, width = filters.shape
+    tile_shape = None
+    if n_channels == 3:
+        filters = np.transpose(filters, (0, 2, 3, 1))
+    else:
+        tile_shape = (n_channels, n_filters)
+        filters = np.transpose(filters, (1, 0, 2, 3)).reshape(
+            n_filters * n_channels, height, width
+        )
+    return img_tile(img_stretch(filters), tile_shape=tile_shape)
+
+
+def scale_to_unit_interval(ndar: np.ndarray, eps: float = 1e-8) -> np.ndarray:
+    """Min-max scale to [0, 1] (``utils/plotting.py:91-96``)."""
+    ndar = np.asarray(ndar, np.float64).copy()
+    ndar -= ndar.min()
+    return ndar / (ndar.max() + eps)
+
+
+def tile_raster_images(
+    X: np.ndarray,
+    img_shape: Tuple[int, int],
+    tile_shape: Tuple[int, int],
+    tile_spacing: Tuple[int, int] = (0, 0),
+    scale_rows_to_unit_interval: bool = True,
+    output_pixel_vals: bool = True,
+) -> np.ndarray:
+    """Tile flattened rows as a raster grid (legacy helper, reference
+    ``utils/plotting.py:99-201``; single-channel arrays and 4-tuples of
+    channels, rows optionally min-max scaled)."""
+    if isinstance(X, tuple):
+        assert len(X) == 4
+        h = (img_shape[0] + tile_spacing[0]) * tile_shape[0] - tile_spacing[0]
+        w = (img_shape[1] + tile_spacing[1]) * tile_shape[1] - tile_spacing[1]
+        dt = "uint8" if output_pixel_vals else np.float64
+        out = np.zeros((h, w, 4), dtype=dt)
+        defaults = [0, 0, 0, 255] if output_pixel_vals else [0.0, 0.0, 0.0, 1.0]
+        for i in range(4):
+            if X[i] is None:
+                out[:, :, i] = defaults[i]
+            else:
+                out[:, :, i] = tile_raster_images(
+                    X[i], img_shape, tile_shape, tile_spacing,
+                    scale_rows_to_unit_interval, output_pixel_vals,
+                )
+        return out
+
+    H, W = img_shape
+    Hs, Ws = tile_spacing
+    h = (H + Hs) * tile_shape[0] - Hs
+    w = (W + Ws) * tile_shape[1] - Ws
+    out = np.zeros((h, w), dtype="uint8" if output_pixel_vals else X.dtype)
+    for r in range(tile_shape[0]):
+        for c in range(tile_shape[1]):
+            k = r * tile_shape[1] + c
+            if k >= X.shape[0]:
+                continue
+            img = X[k].reshape(img_shape)
+            if scale_rows_to_unit_interval:
+                img = scale_to_unit_interval(img)
+            out[r * (H + Hs) : r * (H + Hs) + H, c * (W + Ws) : c * (W + Ws) + W] = (
+                img * (255 if output_pixel_vals else 1)
+            )
+    return out

@@ -148,3 +148,28 @@ def test_metric_logger(tmp_path):
 
 
 import jax  # noqa: E402  (used by checkpoint tests)
+
+
+def test_legacy_plotting_helpers():
+    from otgan_tpu.utils.plotting import (
+        conv_filter_tile,
+        plot_img,
+        scale_to_unit_interval,
+        tile_raster_images,
+    )
+
+    rng = np.random.default_rng(7)
+    rgb = rng.random((4, 3, 5, 5)).astype(np.float32)
+    assert conv_filter_tile(rgb).shape == (11, 11, 3)
+    gray = rng.random((4, 2, 5, 5)).astype(np.float32)
+    assert conv_filter_tile(gray).shape == (11, 23)
+    X = rng.random((6, 16)).astype(np.float32)
+    r = tile_raster_images(X, (4, 4), (2, 3), (1, 1))
+    assert r.shape == (9, 14) and r.dtype == np.uint8
+    r4 = tile_raster_images((X, X, None, None), (4, 4), (2, 3))
+    assert r4.shape == (8, 12, 4)
+    np.testing.assert_allclose(
+        scale_to_unit_interval(np.array([1.0, 3.0])), [0.0, 1.0], atol=1e-7
+    )
+    fig = plot_img(rng.random((4, 4)))
+    assert fig is not None

@@ -81,3 +81,42 @@ def test_train_resume(tmp_path):
     train(TrainConfig(max_epochs=2, **kw))
     state = train(TrainConfig(max_epochs=3, load_params=True, **kw))
     assert int(np.asarray(state.step)) > 0
+
+
+def test_presets():
+    cfg = parse_args(["--preset", "train_py"])
+    assert cfg.batch_size == 5000 and cfg.nr_gen_per_disc == 5
+    cfg = parse_args(["--preset", "model_saving"])
+    assert cfg.batch_size == 8000 and cfg.nr_gen_per_disc == 3
+    # explicit flags win over the preset
+    cfg = parse_args(["--preset", "model_saving", "--batch_size", "256"])
+    assert cfg.batch_size == 256 and cfg.nr_gen_per_disc == 3
+
+
+def test_sample_cli(tmp_path):
+    """Train a tiny toy run, then drive the sampling CLI from its checkpoint."""
+    from otgan_tpu.train import train
+    from otgan_tpu.sample import main as sample_main
+
+    cfg = TrainConfig(
+        model="toy_mlp",
+        batch_size=64,
+        sinkhorn_lambda=50.0,
+        nr_sinkhorn_iter=5,
+        max_epochs=2,
+        save_every_epochs=2,
+        save_dir=str(tmp_path),
+        use_pallas=False,
+    )
+    train(cfg)
+    x = sample_main(
+        [
+            "--save_dir", str(tmp_path),
+            "--model", "toy_mlp",
+            "--batch_size", "64",
+            "--num_samples", "100",
+            "--ema",
+        ]
+    )
+    assert x.shape == (100, 2)
+    assert os.path.exists(os.path.join(tmp_path, "samples.npz"))
