@@ -67,6 +67,9 @@ class TrainConfig:
     # runs / benchmarking; the reference always needs the real download)
     synthetic_data: bool = False
     synthetic_size: int = 5120
+    # run whole G:D cycles (nr_gen_per_disc+1 steps) as ONE jitted program
+    # (lax.scan) — fewer host round trips per step
+    fused_cycle: bool = True
 
     def model_opts(self) -> dict:
         common = {

@@ -76,6 +76,7 @@ class Engine:
         self._matcher = self._make_matcher()
         self.gen_step = jax.jit(self._gen_step, donate_argnums=(0,))
         self.disc_step = jax.jit(self._disc_step, donate_argnums=(0,))
+        self.cycle_step = jax.jit(self._cycle_step, donate_argnums=(0,))
 
     # -- matching mode dispatch (train.py:88-97) --
     def _make_matcher(self) -> Callable[[jax.Array, jax.Array], MatchedFeatures]:
@@ -197,6 +198,26 @@ class Engine:
         )
         return new_state, StepMetrics(dist=dist, entropy=m.entropy)
 
+    # -- fused multi-step cycle: one executable per K train steps --
+    def _cycle_step(
+        self, state: TrainState, xs: jax.Array
+    ) -> Tuple[TrainState, StepMetrics]:
+        """Run ``xs.shape[0]`` consecutive steps in ONE jitted program (a
+        ``lax.scan`` with the reference's G:D schedule selected per step by
+        ``state.step % (nr_gen_per_disc + 1)``, train.py:213-226). Collapses
+        per-step host round trips — the dominant fixed cost on remote/
+        tunneled chips, and fewer dispatches everywhere else. Metrics come
+        back stacked per step; ``step % (n+1) == 0`` entries are critic
+        steps."""
+        period = self.cfg.nr_gen_per_disc + 1
+
+        def body(st, x):
+            return jax.lax.cond(
+                st.step % period == 0, self._disc_step, self._gen_step, st, x
+            )
+
+        return jax.lax.scan(body, state, xs)
+
     # -- sampling (train.py:72-75, x_gens / x_gens_ema) --
     @functools.partial(jax.jit, static_argnums=(0, 3, 4))
     def sample(
@@ -207,3 +228,12 @@ class Engine:
 
     def shard(self, x):
         return shard_batch(self.mesh, x)
+
+    def shard_steps(self, xs):
+        """Place a (K, B, ...) stack of step batches sharded on the batch
+        axis (axis 1) for ``cycle_step``."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.device_put(
+            xs, NamedSharding(self.mesh, P(None, "data"))
+        )

@@ -124,28 +124,53 @@ def train(cfg: TrainConfig) -> TrainState:
             if is_toy
             else loader.epoch()
         )
-        for x in batches:
-            x = engine.shard(x)
-            # 1 critic step per nr_gen_per_disc generator steps
-            # (train.py:213-226)
-            if step_counter % (cfg.nr_gen_per_disc + 1) == 0:
-                state, met = engine.disc_step(state, x)
-                dist_disc.append(met.dist)
+        period = cfg.nr_gen_per_disc + 1
+        pending: list = []
+
+        def run_pending():
+            nonlocal state, step_counter
+            if not pending:
+                return
+            if cfg.fused_cycle and len(pending) > 1:
+                xs = engine.shard_steps(np.stack(pending))
+                start = step_counter
+                state, mets = engine.cycle_step(state, xs)
+                for i in range(len(pending)):
+                    is_disc = (start + i) % period == 0
+                    (dist_disc if is_disc else dist_gen).append(mets.dist[i])
+                    entropies.append(mets.entropy[i])
+                step_counter += len(pending)
             else:
-                state, met = engine.gen_step(state, x)
-                dist_gen.append(met.dist)
+                for xb in pending:
+                    x = engine.shard(xb)
+                    # 1 critic step per nr_gen_per_disc generator steps
+                    # (train.py:213-226)
+                    if step_counter % period == 0:
+                        state, met = engine.disc_step(state, x)
+                        dist_disc.append(met.dist)
+                    else:
+                        state, met = engine.gen_step(state, x)
+                        dist_gen.append(met.dist)
+                    entropies.append(met.entropy)
+                    step_counter += 1
             if jax.default_backend() == "cpu":
                 # serialize dispatch: concurrent multi-executable collectives
                 # can deadlock XLA:CPU's rendezvous (virtual-device meshes)
                 jax.block_until_ready(state)
-            entropies.append(met.entropy)
-            step_counter += 1
-            if cfg.log_every_steps and step_counter % cfg.log_every_steps == 0:
+            if cfg.log_every_steps and entropies:
+                last_dist = dist_gen[-1] if dist_gen else dist_disc[-1]
                 logger.log(
                     step_counter,
-                    dist=float(np.asarray(met.dist)),
-                    entropy=float(np.asarray(met.entropy)),
+                    dist=float(np.asarray(last_dist)),
+                    entropy=float(np.asarray(entropies[-1])),
                 )
+            pending.clear()
+
+        for x in batches:
+            pending.append(np.asarray(x))
+            if len(pending) == period:
+                run_pending()
+        run_pending()  # leftover partial cycle
 
         mg = float(np.mean([np.asarray(d) for d in dist_gen])) if dist_gen else float("nan")
         md = float(np.mean([np.asarray(d) for d in dist_disc])) if dist_disc else float("nan")

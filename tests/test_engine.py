@@ -127,3 +127,37 @@ def test_distance_decreases_with_frozen_critic():
         state, met = eng.gen_step(state, x)
         dists.append(float(met.dist))
     assert np.mean(dists[-10:]) < np.mean(dists[:10])
+
+
+def test_cycle_step_matches_individual_steps():
+    """One fused lax.scan cycle == the same steps run individually."""
+    cfg = _toy_cfg(nr_gen_per_disc=2)
+    eng_a, eng_b = Engine(cfg), Engine(cfg)
+    x0 = _data(0)
+    state_a, _ = eng_a.init_state(0, eng_a.shard(x0))
+    state_b, _ = eng_b.init_state(0, eng_b.shard(x0))
+
+    xs = [_data(i + 1) for i in range(6)]  # two full cycles
+    # engine A: fused
+    stacked = jnp.stack(xs)
+    state_a, mets_a = eng_a.cycle_step(state_a, eng_a.shard_steps(stacked))
+    # engine B: individual steps with the driver's schedule
+    dists_b = []
+    for i, x in enumerate(xs):
+        if i % 3 == 0:
+            state_b, met = eng_b.disc_step(state_b, eng_b.shard(x))
+        else:
+            state_b, met = eng_b.gen_step(state_b, eng_b.shard(x))
+        dists_b.append(float(met.dist))
+
+    np.testing.assert_allclose(
+        np.asarray(mets_a.dist), np.asarray(dists_b), rtol=1e-5, atol=1e-6
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5
+        ),
+        state_a.gen_params,
+        state_b.gen_params,
+    )
+    assert int(np.asarray(state_a.step)) == int(np.asarray(state_b.step)) == 6

@@ -1,0 +1,52 @@
+"""Streaming (HBM-tiled) Sinkhorn kernel vs the XLA path."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from otgan_tpu.ops.sinkhorn import sinkhorn_assignment
+from otgan_tpu.ops.sinkhorn_pallas_tiled import (
+    sinkhorn_assignment_tiled,
+    tiled_supported,
+)
+
+
+def _cost(seed, n, m, d=32):
+    rng = np.random.default_rng(seed)
+    a = rng.standard_normal((n, d)).astype(np.float32)
+    b = rng.standard_normal((m, d)).astype(np.float32)
+    a /= np.linalg.norm(a, axis=1, keepdims=True)
+    b /= np.linalg.norm(b, axis=1, keepdims=True)
+    return 1.0 - a @ b.T
+
+
+def test_gate():
+    assert tiled_supported(256, 128)
+    assert not tiled_supported(100, 128)  # panel misalignment
+    assert not tiled_supported(256, 100)  # lane misalignment
+
+
+def test_tiled_matches_xla():
+    cost = jnp.asarray(_cost(0, 256, 128))
+    p_ref, e_ref = sinkhorn_assignment(cost, 50.0, 40)
+    p, e = sinkhorn_assignment_tiled(cost, 50.0, 40)
+    np.testing.assert_allclose(np.asarray(p), np.asarray(p_ref), atol=1e-5)
+    np.testing.assert_allclose(float(e), float(e_ref), atol=1e-4)
+
+
+def test_tiled_batched_and_extreme_lambda():
+    costs = jnp.stack(
+        [jnp.asarray(_cost(i, 128, 128) + 999.0 * np.eye(128, dtype=np.float32))
+         for i in range(2)]
+    )
+    p, e = sinkhorn_assignment_tiled(costs, 500.0, 60)
+    p_ref, e_ref = sinkhorn_assignment(costs, 500.0, 60)
+    assert np.all(np.isfinite(np.asarray(p)))
+    np.testing.assert_allclose(np.asarray(p), np.asarray(p_ref), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(e), np.asarray(e_ref), atol=1e-4)
+
+
+def test_unsupported_shape_falls_back():
+    cost = jnp.asarray(_cost(3, 96, 100))
+    p, e = sinkhorn_assignment_tiled(cost, 20.0, 20)
+    p_ref, e_ref = sinkhorn_assignment(cost, 20.0, 20)
+    np.testing.assert_allclose(np.asarray(p), np.asarray(p_ref), atol=1e-6)
