@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import sys
 from typing import Optional
 
 
@@ -116,7 +117,7 @@ def parse_args(argv: Optional[list] = None) -> TrainConfig:
     if ns.nr_gpu is not None:
         ns.num_devices = ns.nr_gpu
     del ns.nr_gpu
-    explicit = {a for a in (argv if argv is not None else __import__("sys").argv[1:])}
+    explicit = set(argv if argv is not None else sys.argv[1:])
     if ns.preset == "train_py":
         if "--batch_size" not in explicit:
             ns.batch_size = 5000

@@ -26,26 +26,7 @@ from otgan_tpu.eval.inception import load_params, _BATCH
 def _pool_features(params, x_uint8_range):
     x = x_uint8_range.astype(jnp.float32) / 127.5 - 1.0
     x = jax.image.resize(x, (x.shape[0], 299, 299, 3), method="bilinear")
-    p = params
-    x = inception_net._conv_bn(p["Conv2d_1a_3x3"], x, stride=(2, 2), padding="VALID")
-    x = inception_net._conv_bn(p["Conv2d_2a_3x3"], x, padding="VALID")
-    x = inception_net._conv_bn(p["Conv2d_2b_3x3"], x)
-    x = inception_net._maxpool(x)
-    x = inception_net._conv_bn(p["Conv2d_3b_1x1"], x, padding="VALID")
-    x = inception_net._conv_bn(p["Conv2d_4a_3x3"], x, padding="VALID")
-    x = inception_net._maxpool(x)
-    x = inception_net._inception_a(p["Mixed_5b"], x)
-    x = inception_net._inception_a(p["Mixed_5c"], x)
-    x = inception_net._inception_a(p["Mixed_5d"], x)
-    x = inception_net._inception_b(p["Mixed_6a"], x)
-    x = inception_net._inception_c(p["Mixed_6b"], x)
-    x = inception_net._inception_c(p["Mixed_6c"], x)
-    x = inception_net._inception_c(p["Mixed_6d"], x)
-    x = inception_net._inception_c(p["Mixed_6e"], x)
-    x = inception_net._inception_d(p["Mixed_7a"], x)
-    x = inception_net._inception_e(p["Mixed_7b"], x)
-    x = inception_net._inception_e(p["Mixed_7c"], x)
-    return jnp.mean(x, axis=(1, 2))  # (N, 2048)
+    return inception_net.pool_features(params, x)
 
 
 def pool_features(images: np.ndarray, params=None) -> np.ndarray:

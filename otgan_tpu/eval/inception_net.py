@@ -133,8 +133,9 @@ def _inception_e(p, x):
 # ---------------------------------------------------------------------------
 
 
-def apply(params: Dict, x: jax.Array) -> jax.Array:
-    """Images (N, 299, 299, 3) normalized to [-1, 1] -> logits (N, classes)."""
+def pool_features(params: Dict, x: jax.Array) -> jax.Array:
+    """Images (N, 299, 299, 3) in [-1, 1] -> 2048-d pool features (the
+    trunk shared by the classifier head and FID)."""
     p = params
     x = _conv_bn(p["Conv2d_1a_3x3"], x, stride=(2, 2), padding="VALID")
     x = _conv_bn(p["Conv2d_2a_3x3"], x, padding="VALID")
@@ -154,8 +155,13 @@ def apply(params: Dict, x: jax.Array) -> jax.Array:
     x = _inception_d(p["Mixed_7a"], x)
     x = _inception_e(p["Mixed_7b"], x)
     x = _inception_e(p["Mixed_7c"], x)
-    x = jnp.mean(x, axis=(1, 2))  # global average pool -> (N, 2048)
-    return x @ p["fc"]["w"] + p["fc"]["b"]
+    return jnp.mean(x, axis=(1, 2))  # global average pool -> (N, 2048)
+
+
+def apply(params: Dict, x: jax.Array) -> jax.Array:
+    """Images (N, 299, 299, 3) normalized to [-1, 1] -> logits (N, classes)."""
+    f = pool_features(params, x)
+    return f @ params["fc"]["w"] + params["fc"]["b"]
 
 
 # ---------------------------------------------------------------------------

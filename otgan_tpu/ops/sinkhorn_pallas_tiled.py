@@ -130,13 +130,9 @@ def sinkhorn_assignment_tiled(cost: jax.Array, lam: float, n_iters: int):
     cost = jax.lax.stop_gradient(cost)
     n, m = cost.shape[-2:]
     if not tiled_supported(n, m):
-        from otgan_tpu.ops.sinkhorn import (
-            assignment_and_entropy,
-            sinkhorn_log,
-        )
+        from otgan_tpu.ops.sinkhorn import sinkhorn_assignment
 
-        log_a, _, _ = sinkhorn_log(-lam * cost.astype(jnp.float32), n_iters)
-        return assignment_and_entropy(log_a)
+        return sinkhorn_assignment(cost, lam, n_iters)
 
     interpret = jax.default_backend() != "tpu"
     batch_shape = cost.shape[:-2]
