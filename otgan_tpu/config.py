@@ -71,6 +71,14 @@ class TrainConfig:
     # run whole G:D cycles (nr_gen_per_disc+1 steps) as ONE jitted program
     # (lax.scan) — fewer host round trips per step
     fused_cycle: bool = True
+    # checkpoint retention (tf.train.Saver semantics: max_to_keep +
+    # keep_checkpoint_every_n_hours, train_with_model_saving.py:59);
+    # max_checkpoints_to_keep=0 keeps everything
+    max_checkpoints_to_keep: int = 5
+    keep_checkpoint_every_n_hours: float = 5.0
+    # numerics sanitizer: raise on the first NaN produced by any jitted
+    # computation (jax_debug_nans) — the "race detector" analog for SPMD math
+    debug_nans: bool = False
 
     def model_opts(self) -> dict:
         common = {

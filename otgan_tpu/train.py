@@ -32,6 +32,7 @@ from otgan_tpu.engine import Engine, TrainState
 from otgan_tpu.utils.checkpoint import (
     checkpoint_step,
     latest_checkpoint,
+    prune_checkpoints,
     restore_checkpoint,
     save_checkpoint,
 )
@@ -59,6 +60,8 @@ def _save_sample_grid(engine: Engine, state: TrainState, path: str, rng_seed: in
 def train(cfg: TrainConfig) -> TrainState:
     os.makedirs(cfg.save_dir, exist_ok=True)
     np.random.seed(cfg.seed)
+    # unconditional so False means OFF even after a debug run in-process
+    jax.config.update("jax_debug_nans", cfg.debug_nans)
 
     engine = Engine(cfg)
     print(
@@ -206,6 +209,12 @@ def train(cfg: TrainConfig) -> TrainState:
         # periodic checkpoint + loss history (train.py:275-281)
         if (epoch + 1) % cfg.save_every_epochs == 0 and epoch != start_epoch:
             path = save_checkpoint(cfg.save_dir, state, epoch)
+            if cfg.max_checkpoints_to_keep:
+                prune_checkpoints(
+                    cfg.save_dir,
+                    cfg.max_checkpoints_to_keep,
+                    cfg.keep_checkpoint_every_n_hours,
+                )
             logger.save_distances(mean_dist_gen, mean_dist_disc)
             print(
                 f"saved {path}; elapsed hours "

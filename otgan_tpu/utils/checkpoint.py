@@ -75,3 +75,44 @@ def checkpoint_step(path: str) -> int:
     if not m:
         raise ValueError(f"not a checkpoint path: {path}")
     return int(m.group(1))
+
+
+def prune_checkpoints(
+    save_dir: str,
+    max_to_keep: int = 5,
+    keep_every_hours: float = 5.0,
+) -> list:
+    """Retention policy matching ``tf.train.Saver(max_to_keep=5,
+    keep_checkpoint_every_n_hours=...)`` used by the reference's saving
+    variant (``train_with_model_saving.py:59``): keep the newest
+    ``max_to_keep`` checkpoints, plus one long-term checkpoint per
+    ``keep_every_hours`` window (by file mtime). Returns deleted paths."""
+    deleted = []
+    # drop stale atomic-write temp files (a crash mid-save leaves
+    # otgan_state-<N>.npz.tmp.npz, which the bare glob would match)
+    for p in glob.glob(os.path.join(save_dir, f"{_PREFIX}-*.tmp.npz")):
+        os.remove(p)
+        deleted.append(p)
+    paths = [
+        p
+        for p in glob.glob(os.path.join(save_dir, f"{_PREFIX}-*.npz"))
+        if re.search(rf"{_PREFIX}-(\d+)\.npz$", p)
+    ]
+    if len(paths) <= max_to_keep:
+        return deleted
+    # "newest" means highest STEP (matching latest_checkpoint/resume
+    # order); mtimes rank only the long-term hour anchors, since copies/
+    # restores can flatten them
+    by_step = sorted(paths, key=checkpoint_step)
+    keep = set(by_step[-max_to_keep:])
+    window = keep_every_hours * 3600.0
+    last_kept = None
+    for mtime, p in sorted((os.path.getmtime(p), p) for p in by_step):
+        if last_kept is None or mtime - last_kept >= window:
+            keep.add(p)
+            last_kept = mtime
+    for p in by_step:
+        if p not in keep:
+            os.remove(p)
+            deleted.append(p)
+    return deleted

@@ -173,3 +173,49 @@ def test_legacy_plotting_helpers():
     )
     fig = plot_img(rng.random((4, 4)))
     assert fig is not None
+
+
+def test_prune_checkpoints(tmp_path):
+    import time as _time
+    from otgan_tpu.utils.checkpoint import prune_checkpoints
+
+    state = {"a": jnp.zeros((2,))}
+    paths = []
+    base = _time.time() - 10 * 3600
+    for i in range(10):
+        p = save_checkpoint(str(tmp_path), state, i)
+        # simulate hourly checkpoints over 10 hours
+        os.utime(p, (base + i * 3600, base + i * 3600))
+        paths.append(p)
+    deleted = prune_checkpoints(str(tmp_path), max_to_keep=3, keep_every_hours=5.0)
+    remaining = sorted(os.listdir(tmp_path))
+    # newest 3 kept
+    for p in paths[-3:]:
+        assert os.path.basename(p) in remaining
+    # long-term anchors: first (t=0) and t>=5h kept
+    assert os.path.basename(paths[0]) in remaining
+    assert os.path.basename(paths[5]) in remaining
+    assert len(deleted) > 0 and len(remaining) < 10
+
+
+def test_prune_checkpoints_ignores_tmp_and_ranks_by_step(tmp_path):
+    """Regression: stale .tmp.npz files are cleaned (not retained as
+    checkpoints), and 'newest' means highest STEP even when mtimes are
+    flattened by a copy/restore."""
+    from otgan_tpu.utils.checkpoint import prune_checkpoints
+
+    state = {"a": jnp.zeros((2,))}
+    paths = [save_checkpoint(str(tmp_path), state, i * 100) for i in range(6)]
+    # crash leftover
+    tmp_file = os.path.join(tmp_path, "otgan_state-999.npz.tmp.npz")
+    open(tmp_file, "wb").write(b"partial")
+    # flatten mtimes (simulates cp -r restore)
+    now = os.path.getmtime(paths[0])
+    for p in paths:
+        os.utime(p, (now, now))
+    prune_checkpoints(str(tmp_path), max_to_keep=2, keep_every_hours=5.0)
+    remaining = set(os.listdir(tmp_path))
+    assert "otgan_state-999.npz.tmp.npz" not in remaining
+    # highest-step checkpoints survive
+    assert os.path.basename(paths[-1]) in remaining
+    assert os.path.basename(paths[-2]) in remaining
