@@ -86,7 +86,8 @@ def main():
         log(f"cycle {c}: {times[-1]*1000:.1f} ms for {per_cycle} steps")
 
     sec_per_cycle = float(np.median(times))
-    img_per_sec = per_cycle * batch / sec_per_cycle
+    n_chips = len(eng.mesh.devices.flat)
+    img_per_sec = per_cycle * batch / sec_per_cycle / n_chips
     result = {
         "metric": "cifar10_otgan_full_med_step_throughput",
         "value": round(img_per_sec, 1),

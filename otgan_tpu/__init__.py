@@ -26,3 +26,7 @@ utils     plotting, checkpointing, metric logging
 """
 
 __version__ = "0.1.0"
+
+# convenience top-level API
+from otgan_tpu.config import TrainConfig, parse_args  # noqa: E402
+from otgan_tpu.engine import Engine, TrainState, StepMetrics  # noqa: E402

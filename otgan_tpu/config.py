@@ -81,8 +81,13 @@ class TrainConfig:
     debug_nans: bool = False
 
     def model_opts(self) -> dict:
+        nonlin = self.nonlinearity
+        if self.model == "toy_mlp" and nonlin == "crelu":
+            # the toy notebook's MLPs are plain relu; the global default
+            # ('crelu', for the conv models) would double every fan-in
+            nonlin = "relu"
         common = {
-            "nonlinearity": self.nonlinearity,
+            "nonlinearity": nonlin,
             "remat": self.remat,
             "compute_dtype": self.compute_dtype,
         }
@@ -125,16 +130,20 @@ def parse_args(argv: Optional[list] = None) -> TrainConfig:
     if ns.nr_gpu is not None:
         ns.num_devices = ns.nr_gpu
     del ns.nr_gpu
-    explicit = set(argv if argv is not None else sys.argv[1:])
+    raw = list(argv if argv is not None else sys.argv[1:])
+
+    def explicit(flag: str) -> bool:
+        return any(a == flag or a.startswith(flag + "=") for a in raw)
+
     if ns.preset == "train_py":
-        if "--batch_size" not in explicit:
+        if not explicit("--batch_size"):
             ns.batch_size = 5000
-        if "--nr_gen_per_disc" not in explicit:
+        if not explicit("--nr_gen_per_disc"):
             ns.nr_gen_per_disc = 5
     elif ns.preset == "model_saving":
-        if "--batch_size" not in explicit:
+        if not explicit("--batch_size"):
             ns.batch_size = 8000
-        if "--nr_gen_per_disc" not in explicit:
+        if not explicit("--nr_gen_per_disc"):
             ns.nr_gen_per_disc = 3
     del ns.preset
     return TrainConfig(**vars(ns))

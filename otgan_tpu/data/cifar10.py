@@ -170,6 +170,16 @@ class DataLoader:
             return x, self.labels[idx]
         return x
 
+    def init_batch(self) -> np.ndarray:
+        """First ``batch_size`` examples, unshuffled and unaugmented — for
+        data-dependent init; consumes no RNG and starts no threads."""
+        idx = np.arange(self.batch_size)
+        if self._u8:
+            from otgan_tpu.data import native as native_mod
+
+            return native_mod.assemble_batch_u8(self.data, idx, None)
+        return self.data[idx].copy()
+
     def epoch(self) -> Iterator[np.ndarray]:
         """One pass over the data with background batch assembly."""
         inds = self._epoch_indices()
@@ -178,13 +188,16 @@ class DataLoader:
         sentinel = object()
 
         def producer():
-            for t in range(nb):
-                q.put(
-                    self._make_batch(
-                        inds[t * self.batch_size : (t + 1) * self.batch_size]
+            try:
+                for t in range(nb):
+                    q.put(
+                        self._make_batch(
+                            inds[t * self.batch_size : (t + 1) * self.batch_size]
+                        )
                     )
-                )
-            q.put(sentinel)
+                q.put(sentinel)
+            except BaseException as e:  # surface in the consumer, never hang
+                q.put(e)
 
         th = threading.Thread(target=producer, daemon=True)
         th.start()
@@ -192,6 +205,9 @@ class DataLoader:
             item = q.get()
             if item is sentinel:
                 break
+            if isinstance(item, BaseException):
+                th.join()
+                raise item
             yield item
         th.join()
 

@@ -53,14 +53,13 @@ def _maxpool(x, size=3, stride=2, padding="VALID"):
 
 
 def _avgpool3(x):
+    # torchvision avg_pool2d(3, stride=1, padding=1) defaults to
+    # count_include_pad=True: divisor is ALWAYS 9, including borders —
+    # converted weights require matching this
     s = jax.lax.reduce_window(
         x, 0.0, jax.lax.add, (1, 3, 3, 1), (1, 1, 1, 1), "SAME"
     )
-    ones = jnp.ones(x.shape[:3] + (1,), x.dtype)
-    c = jax.lax.reduce_window(
-        ones, 0.0, jax.lax.add, (1, 3, 3, 1), (1, 1, 1, 1), "SAME"
-    )
-    return s / c
+    return s / 9.0
 
 
 # ---------------------------------------------------------------------------

@@ -122,6 +122,16 @@ def sinkhorn_assignment_pallas(cost: jax.Array, lam: float, n_iters: int):
     path when the matrix doesn't satisfy kernel constraints."""
     n, m = cost.shape[-2:]
     if not pallas_supported(n, m):
+        from otgan_tpu.ops.sinkhorn_pallas_tiled import (
+            sinkhorn_assignment_tiled,
+            tiled_supported,
+        )
+
+        # measured on v5e (docs/DESIGN.md section 3): the streaming tiled
+        # kernel wins up to ~1024^2; beyond that XLA's loop is already
+        # exp-throughput-bound and faster
+        if tiled_supported(n, m) and n * m <= 1024 * 1024:
+            return sinkhorn_assignment_tiled(cost, lam, n_iters)
         from otgan_tpu.ops.sinkhorn import (
             assignment_and_entropy,
             sinkhorn_log,

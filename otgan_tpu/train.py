@@ -95,7 +95,7 @@ def train(cfg: TrainConfig) -> TrainState:
                 batch_size=cfg.batch_size,
                 rng=data_rng,
             )
-        x_init = next(iter(loader.epoch()))
+        x_init = loader.init_batch()
         n_batches = loader.num_batches
 
     # ---- init / resume ----
@@ -129,6 +129,7 @@ def train(cfg: TrainConfig) -> TrainState:
         )
         period = cfg.nr_gen_per_disc + 1
         pending: list = []
+        last_logged = [step_counter]
 
         def run_pending():
             nonlocal state, step_counter
@@ -160,7 +161,11 @@ def train(cfg: TrainConfig) -> TrainState:
                 # serialize dispatch: concurrent multi-executable collectives
                 # can deadlock XLA:CPU's rendezvous (virtual-device meshes)
                 jax.block_until_ready(state)
-            if cfg.log_every_steps and entropies:
+            stride = cfg.log_every_steps
+            if stride and entropies and (
+                step_counter // stride > last_logged[0] // stride
+            ):
+                last_logged[0] = step_counter
                 last_dist = dist_gen[-1] if dist_gen else dist_disc[-1]
                 logger.log(
                     step_counter,

@@ -120,3 +120,17 @@ def test_sample_cli(tmp_path):
     )
     assert x.shape == (100, 2)
     assert os.path.exists(os.path.join(tmp_path, "samples.npz"))
+
+
+def test_preset_explicit_equals_form():
+    cfg = parse_args(["--preset", "train_py", "--batch_size=2000"])
+    assert cfg.batch_size == 2000  # --flag=value counts as explicit
+
+
+def test_toy_mlp_defaults_to_relu():
+    cfg = TrainConfig(model="toy_mlp")
+    assert cfg.model_opts()["nonlinearity"] == "relu"
+    cfg = TrainConfig(model="toy_mlp", nonlinearity="elu")
+    assert cfg.model_opts()["nonlinearity"] == "elu"
+    cfg = TrainConfig(model="dcgan")
+    assert cfg.model_opts()["nonlinearity"] == "crelu"
