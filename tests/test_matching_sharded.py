@@ -106,3 +106,38 @@ def test_sharded_gradient_path():
     g_s = jax.grad(loss_sharded)(jnp.ones(()))
     g_g = jax.grad(loss_global)(jnp.ones(()))
     np.testing.assert_allclose(float(g_s), float(g_g), rtol=1e-4)
+
+
+def test_engine_sharded_vs_global_matching_close_distance():
+    """Engine-level wiring guard: the sharded matcher and the GSPMD global
+    matcher use different (statistically equivalent) batch-half splits, so
+    the reported MED estimates differ slightly (~1-2% at B=64) but must be
+    close — a gross mismatch means the dispatch is wired wrong. Exact
+    equivalence modulo the split permutation is proven at matcher level in
+    test_sharded_matches_global_up_to_permutation."""
+    from otgan_tpu.config import TrainConfig
+    from otgan_tpu.engine import Engine
+
+    kw = dict(
+        model="toy_mlp",
+        batch_size=64,
+        sinkhorn_lambda=50.0,
+        nr_sinkhorn_iter=20,
+        use_pallas=False,
+    )
+    eng_s = Engine(TrainConfig(sharded_matching=True, **kw))
+    eng_g = Engine(TrainConfig(sharded_matching=False, **kw))
+    x0 = _features(20, 64, 2)  # 2-D toy points
+    import jax.numpy as jnp
+
+    state_s, _ = eng_s.init_state(0, eng_s.shard(jnp.asarray(x0)))
+    state_g, _ = eng_g.init_state(0, eng_g.shard(jnp.asarray(x0)))
+    x1 = jnp.asarray(_features(21, 64, 2))
+    state_s, met_s = eng_s.gen_step(state_s, eng_s.shard(x1))
+    state_g, met_g = eng_g.gen_step(state_g, eng_g.shard(x1))
+    np.testing.assert_allclose(
+        float(met_s.dist), float(met_g.dist), rtol=0.1
+    )
+    np.testing.assert_allclose(
+        float(met_s.entropy), float(met_g.entropy), rtol=0.1
+    )
