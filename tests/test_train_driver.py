@@ -134,3 +134,42 @@ def test_toy_mlp_defaults_to_relu():
     assert cfg.model_opts()["nonlinearity"] == "elu"
     cfg = TrainConfig(model="dcgan")
     assert cfg.model_opts()["nonlinearity"] == "crelu"
+
+
+def test_evaluate_cli(tmp_path, monkeypatch):
+    """Train a tiny dcgan-shaped toy... dcgan is too heavy for CPU tests;
+    use toy checkpoint + image-shaped override is not possible, so exercise
+    the evaluate CLI wiring with a toy checkpoint and a stubbed scorer."""
+    from otgan_tpu.train import train
+    from otgan_tpu import evaluate as ev
+
+    cfg = TrainConfig(
+        model="toy_mlp",
+        batch_size=64,
+        sinkhorn_lambda=50.0,
+        nr_sinkhorn_iter=5,
+        max_epochs=2,
+        save_every_epochs=2,
+        save_dir=str(tmp_path),
+        use_pallas=False,
+    )
+    train(cfg)
+
+    import otgan_tpu.eval.inception as inc
+
+    def fake_score(images, splits=10):
+        # toy generator output is unbounded 2-D points; just record the call
+        assert images.shape[0] == 128 and splits == 2
+        return 5.5, 0.25
+
+    monkeypatch.setattr(inc, "get_inception_score", fake_score)
+    res = ev.main(
+        [
+            "--save_dir", str(tmp_path),
+            "--model", "toy_mlp",
+            "--batch_size", "64",
+            "--num_samples", "128",
+            "--splits", "2",
+        ]
+    )
+    assert res["inception_score"] == 5.5 and res["num_samples"] == 128
