@@ -33,8 +33,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# conservative VMEM budget: logits + P + ~3 temps of N*M f32 under ~10MB
-_MAX_VMEM_CELLS = 512 * 512
+# VMEM budget: logits + loop carry + temps; 768x768 f32 compiles and runs
+# on v5e (measured), 1024x1024 overflows VMEM at compile time
+_MAX_VMEM_CELLS = 768 * 768
 _LANE = 128
 _SUBLANE = 8
 

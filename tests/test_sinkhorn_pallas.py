@@ -22,7 +22,7 @@ def _cost(seed, n, m, d=32):
 
 def test_pallas_supported_gate():
     assert pallas_supported(128, 128)
-    assert pallas_supported(512, 512)
+    assert pallas_supported(768, 768)
     assert not pallas_supported(100, 128)  # sublane misalignment
     assert not pallas_supported(128, 100)  # lane misalignment
     assert not pallas_supported(1024, 1024)  # VMEM budget
