@@ -104,6 +104,7 @@ class Engine:
             n_iters=cfg.nr_sinkhorn_iter,
             cost_fn=self.cost_fn,
             use_pallas=use_pallas,
+            tol=cfg.sinkhorn_tol,
         )
 
     # -- init (replaces the init pass at train.py:52-56, but actually

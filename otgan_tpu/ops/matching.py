@@ -59,7 +59,7 @@ def _mm(p: jax.Array, f: jax.Array) -> jax.Array:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("lam", "n_iters", "cost_fn", "use_pallas")
+    jax.jit, static_argnames=("lam", "n_iters", "cost_fn", "use_pallas", "tol")
 )
 def match_two_batch(
     features_a: jax.Array,
@@ -68,6 +68,7 @@ def match_two_batch(
     n_iters: int = 500,
     cost_fn: Callable = cosine_cost,
     use_pallas: bool = False,
+    tol: float = 0.0,
 ) -> MatchedFeatures:
     """Two-batch MED matching (reference ``get_matched_features``).
 
@@ -98,7 +99,9 @@ def match_two_batch(
             cost_fn(fa2, fb2),
         ]
     )
-    p, ent = sinkhorn_assignment(costs, lam, n_iters, use_pallas=use_pallas)
+    p, ent = sinkhorn_assignment(
+        costs, lam, n_iters, use_pallas=use_pallas, tol=tol
+    )
     p_a1a2, p_b2b1, p_a1b1, p_a1b2, p_a2b1, p_a2b2 = p
 
     # 12 matched-feature matmuls (utils/matching.py:64-75), recombined into 4
@@ -121,7 +124,7 @@ def match_two_batch(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("lam", "n_iters", "cost_fn", "use_pallas")
+    jax.jit, static_argnames=("lam", "n_iters", "cost_fn", "use_pallas", "tol")
 )
 def match_single_batch(
     features_a: jax.Array,
@@ -130,6 +133,7 @@ def match_single_batch(
     n_iters: int = 500,
     cost_fn: Callable = cosine_cost,
     use_pallas: bool = False,
+    tol: float = 0.0,
 ) -> MatchedFeatures:
     """Single-batch matching (reference ``get_matched_features_single_batch``).
 
@@ -145,7 +149,9 @@ def match_single_batch(
             cost_fn(features_a, features_b),
         ]
     )
-    p, ent = sinkhorn_assignment(costs, lam, n_iters, use_pallas=use_pallas)
+    p, ent = sinkhorn_assignment(
+        costs, lam, n_iters, use_pallas=use_pallas, tol=tol
+    )
     p_aa, p_bb, p_ab = p
 
     a_a = _mm(p_aa, features_a)

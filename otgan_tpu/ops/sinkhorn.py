@@ -100,12 +100,15 @@ def assignment_and_entropy(log_a: jax.Array):
     return p, jnp.mean(ent, axis=-1)
 
 
-@functools.partial(jax.jit, static_argnames=("lam", "n_iters", "use_pallas"))
+@functools.partial(
+    jax.jit, static_argnames=("lam", "n_iters", "use_pallas", "tol")
+)
 def sinkhorn_assignment(
     cost: jax.Array,
     lam: float,
     n_iters: int,
     use_pallas: bool = False,
+    tol: float = 0.0,
 ):
     """Cost -> (assignment P, mean row entropy).
 
@@ -123,9 +126,56 @@ def sinkhorn_assignment(
     linearize through the 500-iteration loop / the Pallas kernel.
     """
     cost = jax.lax.stop_gradient(cost)
+    if tol > 0.0:
+        # opt-in early exit (n_iters becomes the cap); dynamic trip counts
+        # need the XLA while_loop path, not the fixed-loop Pallas kernels
+        log_a, _ = sinkhorn_log_tol(
+            -lam * cost.astype(jnp.float32), n_iters, tol
+        )
+        return assignment_and_entropy(log_a)
     if use_pallas:
         from otgan_tpu.ops.sinkhorn_pallas import sinkhorn_assignment_pallas
 
         return sinkhorn_assignment_pallas(cost, lam, n_iters)
     log_a, _, _ = sinkhorn_log(-lam * cost.astype(jnp.float32), n_iters)
     return assignment_and_entropy(log_a)
+
+
+@functools.partial(jax.jit, static_argnames=("max_iters", "tol"))
+def sinkhorn_log_tol(neg_lam_cost: jax.Array, max_iters: int, tol: float):
+    """Early-exit Sinkhorn: iterate until the column potential moves less
+    than ``tol`` (sup-norm) or ``max_iters`` is reached.
+
+    OPT-IN deviation from the reference (which always runs exactly
+    ``nr_sinkhorn_iter`` pairs): at sharp convergence the potentials stop
+    moving long before iteration 500, so a tolerance cuts the matching cost
+    with no measurable effect on the assignment. Returns
+    ``(log_a, iterations_used)``.
+    """
+    x = neg_lam_cost.astype(jnp.float32)
+
+    def one(x2d):
+        n, m = x2d.shape
+
+        def cond(carry):
+            _, _, delta, i = carry
+            return jnp.logical_and(i < max_iters, delta >= tol)
+
+        def body(carry):
+            _, v_prev, _, i = carry
+            u = -_lse(x2d + v_prev[None, :], axis=1)
+            v = -_lse(x2d + u[:, None], axis=0)
+            delta = jnp.max(jnp.abs(v - v_prev))
+            return (u, v, delta, i + 1)
+
+        u0 = jnp.zeros((n,), jnp.float32)
+        v0 = jnp.zeros((m,), jnp.float32)
+        u, v, _, iters = jax.lax.while_loop(
+            cond, body, (u0, v0, jnp.asarray(jnp.inf, jnp.float32), 0)
+        )
+        return x2d + u[:, None] + v[None, :], iters
+
+    batch_shape = x.shape[:-2]
+    flat = x.reshape((-1,) + x.shape[-2:])
+    log_a, iters = jax.lax.map(one, flat)
+    return log_a.reshape(x.shape), iters.reshape(batch_shape)

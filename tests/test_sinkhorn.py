@@ -93,3 +93,30 @@ def test_entropy_definition():
     p_np = np.asarray(p, np.float64)
     want = np.mean(-np.sum(p_np * np.log(p_np), axis=1))
     np.testing.assert_allclose(float(jnp.mean(ent)), want, atol=1e-5)
+
+
+def test_early_exit_matches_fixed_iterations():
+    """tol path == fixed-count path once converged, with fewer iterations."""
+    from otgan_tpu.ops.sinkhorn import sinkhorn_log_tol
+
+    rng = np.random.default_rng(7)
+    fa = _rand_features(rng, 96, 48)
+    fb = _rand_features(rng, 96, 48)
+    x = -50.0 * jnp.asarray(1.0 - fa @ fb.T)
+
+    log_fixed, _, _ = sinkhorn_log(x, 500)
+    log_tol, iters = sinkhorn_log_tol(x, 500, tol=1e-3)
+    p_fixed, e_fixed = assignment_and_entropy(log_fixed)
+    p_tol, e_tol = assignment_and_entropy(log_tol)
+    np.testing.assert_allclose(np.asarray(p_tol), np.asarray(p_fixed), atol=5e-4)
+    np.testing.assert_allclose(float(jnp.mean(e_tol)), float(jnp.mean(e_fixed)), atol=1e-4)
+    assert int(iters) < 500  # actually exited early
+
+
+def test_early_exit_respects_max_iters():
+    from otgan_tpu.ops.sinkhorn import sinkhorn_log_tol
+
+    rng = np.random.default_rng(8)
+    x = -500.0 * jnp.asarray(rng.random((32, 32)).astype(np.float32))
+    _, iters = sinkhorn_log_tol(x, 7, tol=0.0)  # tol=0 never converges
+    assert int(iters) == 7
