@@ -10,6 +10,8 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import json
+import os
 import sys
 from typing import Optional
 
@@ -79,11 +81,50 @@ class TrainConfig:
     # opt-in Sinkhorn early exit: stop when the column potential moves less
     # than this (sup-norm); 0.0 = exact reference behavior (fixed count).
     # tol=1e-3 typically cuts 500 iterations to ~100-150 at <1e-4 assignment
-    # error. Ignored by the fixed-loop Pallas kernels.
+    # error. tol>0 takes a dynamic-trip-count loop: the XLA while_loop path
+    # on a single device (overriding use_pallas) and the collective
+    # while_loop in the sharded matcher on meshes.
     sinkhorn_tol: float = 0.0
     # numerics sanitizer: raise on the first NaN produced by any jitted
     # computation (jax_debug_nans) — the "race detector" analog for SPMD math
     debug_nans: bool = False
+    # checkpoint storage: "bfloat16" stores EMA + optimizer slots in bf16
+    # (~half the file; params stay f32), "float32" = exact (default).
+    checkpoint_slot_dtype: str = "float32"
+    # write checkpoints on a background thread (device->host copy stays
+    # synchronous; only compression + disk I/O are deferred)
+    async_checkpoint: bool = True
+    # freeze the critic after this many global steps (0 = never, the
+    # reference train.py behavior). Toy notebook 2 trains with D+G updates
+    # every iteration and freezes D after iteration 15000
+    # (toy_example/med_gan_toy_example2.ipynb cell 1); with a frozen critic
+    # the would-be critic steps become generator steps.
+    disc_freeze_after_steps: int = 0
+
+    def save(self, path: str) -> None:
+        """Persist the full config as JSON (written into the run directory
+        by the trainer so sampling/evaluation CLIs can rebuild the exact
+        model — incl. densenet block settings — from any checkpoint)."""
+        with open(path, "w") as f:
+            json.dump(dataclasses.asdict(self), f, indent=2, sort_keys=True)
+
+    @classmethod
+    def load(cls, path: str) -> "TrainConfig":
+        """Load a config written by :meth:`save`. Unknown keys are ignored
+        (forward compatibility across framework versions)."""
+        with open(path) as f:
+            data = json.load(f)
+        names = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in data.items() if k in names})
+
+    @classmethod
+    def for_run(cls, save_dir: str, **overrides) -> "TrainConfig":
+        """Rebuild the config of a training run from ``save_dir/config.json``
+        when present (falling back to defaults otherwise), with explicit
+        ``overrides`` applied on top."""
+        path = os.path.join(save_dir, "config.json")
+        cfg = cls.load(path) if os.path.exists(path) else cls()
+        return dataclasses.replace(cfg, save_dir=save_dir, **overrides)
 
     def model_opts(self) -> dict:
         nonlin = self.nonlinearity

@@ -31,12 +31,13 @@ from typing import Iterator, Optional, Tuple
 
 import numpy as np
 
-CIFAR_URL = "http://www.cs.toronto.edu/~kriz/cifar-10-python.tar.gz"
+CIFAR_URL = "https://www.cs.toronto.edu/~kriz/cifar-10-python.tar.gz"
 
 
 def maybe_download_and_extract(data_dir: str, url: str = CIFAR_URL) -> None:
     """Fetch + untar if ``cifar-10-batches-py`` is absent
-    (reference ``data/cifar10_data.py:12-27``)."""
+    (reference ``data/cifar10_data.py:12-27``, hardened: https + member
+    validation so a tampered archive cannot write outside ``data_dir``)."""
     batches_dir = os.path.join(data_dir, "cifar-10-batches-py")
     if os.path.exists(batches_dir):
         return
@@ -47,7 +48,17 @@ def maybe_download_and_extract(data_dir: str, url: str = CIFAR_URL) -> None:
         print(f"downloading {url} -> {filepath}")
         urllib.request.urlretrieve(url, filepath)
     with tarfile.open(filepath, "r:gz") as tar:
-        tar.extractall(data_dir)
+        try:
+            tar.extractall(data_dir, filter="data")  # Python >= 3.12
+        except TypeError:
+            root = os.path.realpath(data_dir)
+            for member in tar.getmembers():
+                target = os.path.realpath(os.path.join(data_dir, member.name))
+                if not target.startswith(root + os.sep):
+                    raise ValueError(
+                        f"unsafe tar member path: {member.name!r}"
+                    )
+            tar.extractall(data_dir)
 
 
 def _unpickle(path: str):

@@ -85,16 +85,24 @@ class Engine:
         if cfg.no_sinkhorn:
             shard = max(cfg.batch_size // max(n_dev, 1), 1)
             return functools.partial(match_random, shard_size=shard)
-        if cfg.sharded_matching and n_dev > 1 and not cfg.single_batch:
+        if cfg.sharded_matching and n_dev > 1:
             from otgan_tpu.parallel.matching_sharded import (
+                make_sharded_single_batch_matcher,
                 make_sharded_two_batch_matcher,
             )
 
-            return make_sharded_two_batch_matcher(
+            make = (
+                make_sharded_single_batch_matcher
+                if cfg.single_batch
+                else make_sharded_two_batch_matcher
+            )
+            return make(
                 self.mesh,
                 cfg.sinkhorn_lambda,
                 cfg.nr_sinkhorn_iter,
                 cost_fn=self.cost_fn,
+                tol=cfg.sinkhorn_tol,
+                use_pallas=cfg.use_pallas,
             )
         use_pallas = cfg.use_pallas and jax.default_backend() == "tpu"
         match = match_single_batch if cfg.single_batch else match_two_batch
@@ -209,13 +217,18 @@ class Engine:
         per-step host round trips — the dominant fixed cost on remote/
         tunneled chips, and fewer dispatches everywhere else. Metrics come
         back stacked per step; ``step % (n+1) == 0`` entries are critic
-        steps."""
+        steps (unless past ``disc_freeze_after_steps``)."""
         period = self.cfg.nr_gen_per_disc + 1
+        freeze = self.cfg.disc_freeze_after_steps
 
         def body(st, x):
-            return jax.lax.cond(
-                st.step % period == 0, self._disc_step, self._gen_step, st, x
-            )
+            is_disc = st.step % period == 0
+            if freeze > 0:
+                # notebook-2 schedule: D frozen after `freeze` steps
+                # (med_gan_toy_example2.ipynb cell 1) — critic slots become
+                # generator steps
+                is_disc = jnp.logical_and(is_disc, st.step < freeze)
+            return jax.lax.cond(is_disc, self._disc_step, self._gen_step, st, x)
 
         return jax.lax.scan(body, state, xs)
 

@@ -17,7 +17,6 @@ from typing import Optional
 
 import numpy as np
 
-from otgan_tpu.config import TrainConfig
 from otgan_tpu.sample import generate
 from otgan_tpu.utils.checkpoint import latest_checkpoint
 
@@ -26,8 +25,10 @@ def main(argv: Optional[list] = None):
     ap = argparse.ArgumentParser(description="OT-GAN evaluation")
     ap.add_argument("--save_dir", required=True)
     ap.add_argument("--checkpoint", default="")
-    ap.add_argument("--model", default="dcgan")
-    ap.add_argument("--nonlinearity", default="crelu")
+    ap.add_argument("--model", default=None)
+    ap.add_argument("--nonlinearity", default=None)
+    ap.add_argument("--layers_per_block", type=int, default=None)
+    ap.add_argument("--filters_per_layer", type=int, default=None)
     ap.add_argument("--batch_size", type=int, default=256)
     ap.add_argument("--num_samples", type=int, default=50000)
     ap.add_argument("--splits", type=int, default=10)
@@ -37,12 +38,9 @@ def main(argv: Optional[list] = None):
     ap.add_argument("--fid_samples", type=int, default=10000)
     args = ap.parse_args(argv)
 
-    cfg = TrainConfig(
-        model=args.model,
-        nonlinearity=args.nonlinearity,
-        batch_size=args.batch_size,
-        save_dir=args.save_dir,
-    )
+    from otgan_tpu.sample import build_run_config
+
+    cfg = build_run_config(args)
     ckpt = args.checkpoint or latest_checkpoint(args.save_dir)
     if not ckpt:
         raise FileNotFoundError(f"no checkpoint found in {args.save_dir}")

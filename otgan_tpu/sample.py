@@ -21,6 +21,18 @@ from otgan_tpu.utils.checkpoint import latest_checkpoint, restore_checkpoint
 from otgan_tpu.utils.plotting import img_tile, save_tile_img
 
 
+def build_run_config(args) -> TrainConfig:
+    """Rebuild a run's TrainConfig from ``save_dir/config.json`` (written by
+    the trainer) so model architecture — incl. densenet block settings —
+    matches the checkpoint; CLI flags passed explicitly override it."""
+    overrides = dict(batch_size=args.batch_size)
+    for name in ("model", "nonlinearity", "layers_per_block", "filters_per_layer"):
+        val = getattr(args, name, None)
+        if val is not None:
+            overrides[name] = val
+    return TrainConfig.for_run(args.save_dir, **overrides)
+
+
 def generate(
     cfg: TrainConfig,
     checkpoint: str,
@@ -53,8 +65,10 @@ def main(argv=None):
     ap = argparse.ArgumentParser(description="OT-GAN sampler")
     ap.add_argument("--save_dir", required=True, help="training run directory")
     ap.add_argument("--checkpoint", default="", help="explicit checkpoint path")
-    ap.add_argument("--model", default="dcgan")
-    ap.add_argument("--nonlinearity", default="crelu")
+    ap.add_argument("--model", default=None)
+    ap.add_argument("--nonlinearity", default=None)
+    ap.add_argument("--layers_per_block", type=int, default=None)
+    ap.add_argument("--filters_per_layer", type=int, default=None)
     ap.add_argument("--batch_size", type=int, default=256)
     ap.add_argument("--num_samples", type=int, default=100)
     ap.add_argument("--ema", action="store_true")
@@ -62,12 +76,7 @@ def main(argv=None):
     ap.add_argument("--out", default="", help="output prefix (default save_dir/samples)")
     args = ap.parse_args(argv)
 
-    cfg = TrainConfig(
-        model=args.model,
-        nonlinearity=args.nonlinearity,
-        batch_size=args.batch_size,
-        save_dir=args.save_dir,
-    )
+    cfg = build_run_config(args)
     ckpt = args.checkpoint or latest_checkpoint(args.save_dir)
     if not ckpt:
         raise FileNotFoundError(f"no checkpoint found in {args.save_dir}")

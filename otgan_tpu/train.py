@@ -59,6 +59,9 @@ def _save_sample_grid(engine: Engine, state: TrainState, path: str, rng_seed: in
 
 def train(cfg: TrainConfig) -> TrainState:
     os.makedirs(cfg.save_dir, exist_ok=True)
+    # persist the run config so sample/evaluate CLIs can rebuild the exact
+    # model (incl. densenet block settings) from any checkpoint
+    cfg.save(os.path.join(cfg.save_dir, "config.json"))
     np.random.seed(cfg.seed)
     # unconditional so False means OFF even after a debug run in-process
     jax.config.update("jax_debug_nans", cfg.debug_nans)
@@ -135,21 +138,27 @@ def train(cfg: TrainConfig) -> TrainState:
             nonlocal state, step_counter
             if not pending:
                 return
+            freeze = cfg.disc_freeze_after_steps
+
+            def is_disc_step(s: int) -> bool:
+                # 1 critic step per nr_gen_per_disc generator steps
+                # (train.py:213-226), unless the critic is frozen
+                # (notebook-2 schedule, med_gan_toy_example2.ipynb cell 1)
+                return s % period == 0 and (freeze <= 0 or s < freeze)
+
             if cfg.fused_cycle and len(pending) > 1:
                 xs = engine.shard_steps(np.stack(pending))
                 start = step_counter
                 state, mets = engine.cycle_step(state, xs)
                 for i in range(len(pending)):
-                    is_disc = (start + i) % period == 0
+                    is_disc = is_disc_step(start + i)
                     (dist_disc if is_disc else dist_gen).append(mets.dist[i])
                     entropies.append(mets.entropy[i])
                 step_counter += len(pending)
             else:
                 for xb in pending:
                     x = engine.shard(xb)
-                    # 1 critic step per nr_gen_per_disc generator steps
-                    # (train.py:213-226)
-                    if step_counter % period == 0:
+                    if is_disc_step(step_counter):
                         state, met = engine.disc_step(state, x)
                         dist_disc.append(met.dist)
                     else:
@@ -213,7 +222,13 @@ def train(cfg: TrainConfig) -> TrainState:
 
         # periodic checkpoint + loss history (train.py:275-281)
         if (epoch + 1) % cfg.save_every_epochs == 0 and epoch != start_epoch:
-            path = save_checkpoint(cfg.save_dir, state, epoch)
+            path = save_checkpoint(
+                cfg.save_dir,
+                state,
+                epoch,
+                slot_dtype=cfg.checkpoint_slot_dtype,
+                async_write=cfg.async_checkpoint,
+            )
             if cfg.max_checkpoints_to_keep:
                 prune_checkpoints(
                     cfg.save_dir,
@@ -229,6 +244,9 @@ def train(cfg: TrainConfig) -> TrainState:
 
     if cfg.profile_dir:
         jax.profiler.stop_trace()
+    from otgan_tpu.utils.checkpoint import wait_for_pending_saves
+
+    wait_for_pending_saves()
     logger.close()
     return state
 

@@ -9,6 +9,19 @@ state, step counter, RNG key — so resume is bit-exact.
 Format: one ``.npz`` of flattened leaves (template-based restore, the
 flax/orbax "restore into target" idiom) — no pickled code, portable,
 append-only per step like ``med_gan_params-<epoch>``.
+
+Size/latency options (round-1 backlog item 5):
+* ``slot_dtype="bfloat16"`` stores the EMA shadow and both optimizer-slot
+  subtrees in bfloat16 (as uint16 views — numpy serializes those natively),
+  roughly halving the ~1 GB DCGAN full-state file. bf16 keeps float32's
+  exponent range, so tiny Adam second moments (~1e-8) survive where float16
+  would flush them; params themselves stay float32 (default OFF: the exact
+  reference-resume path).
+* ``async_write=True`` moves compression + disk I/O to a background thread.
+  The device->host transfer stays on the caller thread (the engine's jitted
+  steps DONATE the state buffers, so they must be copied out before the
+  next step runs); only the file write is deferred. ``wait_for_pending_saves``
+  joins the writer (called automatically before prune/next save/train exit).
 """
 
 from __future__ import annotations
@@ -16,32 +29,99 @@ from __future__ import annotations
 import glob
 import os
 import re
+import threading
 from typing import Any, Optional
 
 import jax
+import ml_dtypes
 import numpy as np
 
 Pytree = Any
 _PREFIX = "otgan_state"
+_BF16_SUFFIX = "__bf16"
+# TrainState fields stored in reduced precision under slot_dtype="bfloat16"
+_SLOT_FIELDS = ("gen_ema", "gen_opt", "disc_opt")
+
+_pending_save: Optional[threading.Thread] = None
 
 
-def save_checkpoint(save_dir: str, state: Pytree, step: int) -> str:
-    """Write ``otgan_state-<step>.npz``; returns the path."""
+def wait_for_pending_saves() -> None:
+    """Join any in-flight background checkpoint write."""
+    global _pending_save
+    if _pending_save is not None:
+        _pending_save.join()
+        _pending_save = None
+
+
+def _slot_mask(state: Pytree) -> list:
+    """Per-flat-leaf booleans: True where the leaf belongs to an EMA /
+    optimizer-slot field (compressible)."""
+    fields = getattr(state, "_fields", None)
+    if fields is None:
+        return [False] * len(jax.tree.leaves(state))
+    mask = []
+    for name in fields:
+        n = len(jax.tree.leaves(getattr(state, name)))
+        mask.extend([name in _SLOT_FIELDS] * n)
+    return mask
+
+
+def save_checkpoint(
+    save_dir: str,
+    state: Pytree,
+    step: int,
+    slot_dtype: str = "float32",
+    async_write: bool = False,
+) -> str:
+    """Write ``otgan_state-<step>.npz``; returns the (final) path."""
     os.makedirs(save_dir, exist_ok=True)
-    leaves = jax.tree.leaves(state)
+    wait_for_pending_saves()
+    # device->host copy happens HERE, synchronously: the train steps donate
+    # the state buffers, so deferring the copy would read freed memory
+    host = [np.asarray(leaf) for leaf in jax.tree.leaves(state)]
+    mask = _slot_mask(state)
+    arrays = {}
+    for i, (arr, is_slot) in enumerate(zip(host, mask)):
+        if (
+            slot_dtype == "bfloat16"
+            and is_slot
+            and arr.dtype == np.float32
+        ):
+            arrays[f"leaf_{i}{_BF16_SUFFIX}"] = arr.astype(
+                ml_dtypes.bfloat16
+            ).view(np.uint16)
+        else:
+            arrays[f"leaf_{i}"] = arr
     path = os.path.join(save_dir, f"{_PREFIX}-{step}.npz")
     tmp = path + ".tmp.npz"
-    np.savez(
-        tmp, **{f"leaf_{i}": np.asarray(leaf) for i, leaf in enumerate(leaves)}
-    )
-    os.replace(tmp, path)
+
+    def write():
+        np.savez(tmp, **arrays)
+        os.replace(tmp, path)
+
+    if async_write:
+        global _pending_save
+        _pending_save = threading.Thread(target=write, daemon=False)
+        _pending_save.start()
+    else:
+        write()
     return path
 
 
 def restore_checkpoint(path: str, template: Pytree) -> Pytree:
-    """Restore into a pytree shaped like ``template`` (dtypes/shapes checked)."""
+    """Restore into a pytree shaped like ``template`` (dtypes/shapes checked);
+    transparently decodes bfloat16-compressed slot leaves."""
     with np.load(path) as data:
-        leaves = [data[f"leaf_{i}"] for i in range(len(data.files))]
+        leaves = []
+        for i in range(len(data.files)):
+            if f"leaf_{i}" in data:
+                leaves.append(data[f"leaf_{i}"])
+            elif f"leaf_{i}{_BF16_SUFFIX}" in data:
+                leaves.append(
+                    data[f"leaf_{i}{_BF16_SUFFIX}"].view(ml_dtypes.bfloat16)
+                )
+            else:
+                break
     t_leaves, treedef = jax.tree.flatten(template)
     if len(leaves) != len(t_leaves):
         raise ValueError(
@@ -87,6 +167,7 @@ def prune_checkpoints(
     variant (``train_with_model_saving.py:59``): keep the newest
     ``max_to_keep`` checkpoints, plus one long-term checkpoint per
     ``keep_every_hours`` window (by file mtime). Returns deleted paths."""
+    wait_for_pending_saves()  # never prune around an in-flight write
     deleted = []
     # drop stale atomic-write temp files (a crash mid-save leaves
     # otgan_state-<N>.npz.tmp.npz, which the bare glob would match)

@@ -219,3 +219,83 @@ def test_prune_checkpoints_ignores_tmp_and_ranks_by_step(tmp_path):
     # highest-step checkpoints survive
     assert os.path.basename(paths[-1]) in remaining
     assert os.path.basename(paths[-2]) in remaining
+
+
+def test_checkpoint_bf16_slots_roundtrip_and_size(tmp_path):
+    """slot_dtype="bfloat16" must ~halve the file and roundtrip EMA/opt
+    slots within bf16 precision while keeping params bit-exact."""
+    import collections
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from otgan_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
+
+    State = collections.namedtuple(
+        "State",
+        ["gen_params", "disc_params", "gen_ema", "gen_opt", "disc_opt", "step", "rng"],
+    )
+    rng = np.random.default_rng(0)
+    big = lambda: jnp.asarray(rng.standard_normal((256, 256)), jnp.float32)
+    tiny = jnp.asarray(rng.uniform(1e-9, 1e-7, (64,)), jnp.float32)
+    state = State(
+        gen_params={"w": big()},
+        disc_params={"w": big()},
+        gen_ema={"w": big()},
+        gen_opt={"m": big(), "v": tiny},
+        disc_opt={"m": big()},
+        step=jnp.zeros((), jnp.int32),
+        rng=jnp.zeros((2,), jnp.uint32),
+    )
+    p_full = save_checkpoint(str(tmp_path / "full"), state, 1)
+    p_bf16 = save_checkpoint(
+        str(tmp_path / "bf16"), state, 1, slot_dtype="bfloat16"
+    )
+    import os
+
+    full_sz, bf16_sz = os.path.getsize(p_full), os.path.getsize(p_bf16)
+    # 4 of 6 big arrays compress: expect ~2/3 size; assert < 3/4
+    assert bf16_sz < 0.75 * full_sz, (full_sz, bf16_sz)
+
+    got = restore_checkpoint(p_bf16, state)
+    # params bit-exact
+    np.testing.assert_array_equal(
+        np.asarray(got.gen_params["w"]), np.asarray(state.gen_params["w"])
+    )
+    # slots within bf16 relative precision (~2^-8)
+    np.testing.assert_allclose(
+        np.asarray(got.gen_ema["w"]), np.asarray(state.gen_ema["w"]), rtol=1e-2
+    )
+    # tiny Adam second moments survive (bf16 keeps f32's exponent range)
+    v = np.asarray(got.gen_opt["v"])
+    assert (v > 0).all()
+    np.testing.assert_allclose(v, np.asarray(tiny), rtol=1e-2)
+
+
+def test_checkpoint_async_write(tmp_path):
+    import collections
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from otgan_tpu.utils.checkpoint import (
+        restore_checkpoint,
+        save_checkpoint,
+        wait_for_pending_saves,
+    )
+
+    State = collections.namedtuple("State", ["gen_params", "step"])
+    state = State(
+        gen_params={"w": jnp.arange(16.0, dtype=jnp.float32)},
+        step=jnp.asarray(7, jnp.int32),
+    )
+    path = save_checkpoint(str(tmp_path), state, 3, async_write=True)
+    wait_for_pending_saves()
+    import os
+
+    assert os.path.exists(path)
+    got = restore_checkpoint(path, state)
+    np.testing.assert_array_equal(
+        np.asarray(got.gen_params["w"]), np.asarray(state.gen_params["w"])
+    )
+    assert int(np.asarray(got.step)) == 7

@@ -161,3 +161,35 @@ def test_cycle_step_matches_individual_steps():
         state_b.gen_params,
     )
     assert int(np.asarray(state_a.step)) == int(np.asarray(state_b.step)) == 6
+
+
+def test_disc_freeze_after_steps():
+    """Notebook-2 schedule (med_gan_toy_example2.ipynb cell 1): the critic
+    freezes after ``disc_freeze_after_steps``; its update slots become
+    generator steps. Verified through the fused cycle_step program."""
+    cfg = _toy_cfg(nr_gen_per_disc=1, disc_freeze_after_steps=1)
+    eng = Engine(cfg)
+    state, _ = eng.init_state(0, eng.shard(_data(0)))
+    disc0 = jax.tree.map(np.asarray, state.disc_params)
+
+    # cycle 1 (steps 0-3): step 0 is a critic step (0 < freeze) -> disc moves
+    xs = jnp.stack([_data(i + 1) for i in range(4)])
+    state, _ = eng.cycle_step(state, eng.shard_steps(xs))
+    disc1 = jax.tree.map(np.asarray, state.disc_params)
+    moved = max(
+        jax.tree.leaves(
+            jax.tree.map(lambda a, b: float(np.abs(a - b).max()), disc0, disc1)
+        )
+    )
+    assert moved > 0.0
+
+    # cycle 2 (steps 4-7): steps 4 and 6 would be critic steps, but the
+    # critic is frozen -> disc params must be bit-identical
+    xs2 = jnp.stack([_data(i + 10) for i in range(4)])
+    state, _ = eng.cycle_step(state, eng.shard_steps(xs2))
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(a, np.asarray(b)),
+        disc1,
+        state.disc_params,
+    )
+    assert int(np.asarray(state.step)) == 8

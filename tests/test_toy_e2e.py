@@ -3,9 +3,13 @@ reference's de-facto integration test (toy_example/med_gan_toy_example2.ipynb;
 SURVEY.md section 4 item (e)).
 
 Success = mode coverage: the notebook's KDE plots covering all 8 modes maps
-to >= MIN_MODES modes holding >=2% of samples each. Calibration (CPU, 8
-virtual devices, plain xavier-style init, batch 512, lam=50, 10 Sinkhorn
-iters, D+G step every iter): 4 modes @ step 100, 7 @ 300, 8 @ 600.
+to ALL 8 modes holding >=2% of samples each. The schedule is the notebook's
+(cell 1): D+G updates every iteration with G lr = 5x D lr, then D is FROZEN
+for a final generator-only phase (the notebook freezes D at iteration 15000
+of 40000). The 40000-iteration run is compressed for CI by scaling both
+learning rates 3x (preserving the 5:1 G:D lr ratio). Calibration (CPU, 8
+virtual devices, xavier-style init, batch 512, lam=50, 10 Sinkhorn iters,
+freeze @ 600): 6 modes @ step 100, 7 @ 300, 8 @ 600, still 8 @ 1500.
 """
 
 import os
@@ -19,8 +23,11 @@ from otgan_tpu.config import TrainConfig
 from otgan_tpu.data.toy import mode_coverage, sample_8gaussians
 from otgan_tpu.engine import Engine
 
-N_STEPS = int(os.environ.get("OTGAN_TOY_E2E_STEPS", "700"))
-MIN_MODES = 6
+N_STEPS = int(os.environ.get("OTGAN_TOY_E2E_STEPS", "1000"))
+# D freezes after this many adversarial iterations; the rest are G-only
+# (notebook-2 cell 1: freeze at 15000/40000)
+FREEZE_AT = int(os.environ.get("OTGAN_TOY_E2E_FREEZE", "600"))
+MIN_MODES = 8
 
 
 @pytest.mark.slow
@@ -30,8 +37,8 @@ def test_toy_medgan_covers_modes():
         batch_size=512,
         sinkhorn_lambda=50.0,
         nr_sinkhorn_iter=10,
-        learning_rate_gen=1e-4,  # G lr = 5x D lr (notebook cell 1)
-        learning_rate_disc=2e-5,
+        learning_rate_gen=3e-4,  # G lr = 5x D lr (notebook cell 1), 3x scaled
+        learning_rate_disc=6e-5,
         use_pallas=False,
     )
     eng = Engine(cfg)
@@ -42,9 +49,11 @@ def test_toy_medgan_covers_modes():
     entropies = []
     for it in range(1, N_STEPS + 1):
         x = eng.shard(jnp.asarray(sample_8gaussians(rng, 512)))
-        # notebook schedule: D then G every iteration (until D freeze)
-        state, _ = eng.disc_step(state, x)
-        jax.block_until_ready(state)  # serialize: XLA CPU collective flake
+        # notebook schedule: D then G every iteration, D frozen after
+        # FREEZE_AT (med_gan_toy_example2.ipynb cell 1)
+        if it <= FREEZE_AT:
+            state, _ = eng.disc_step(state, x)
+            jax.block_until_ready(state)  # serialize: XLA CPU collective flake
         state, met = eng.gen_step(state, x)
         jax.block_until_ready(state)
         if it % 100 == 0:
