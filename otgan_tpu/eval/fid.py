@@ -19,19 +19,19 @@ import jax.numpy as jnp
 import numpy as np
 
 from otgan_tpu.eval import inception_net
-from otgan_tpu.eval.inception import load_params, _BATCH
+from otgan_tpu.eval.inception import get_variant, load_params, preprocess, _BATCH
 
 
-@jax.jit
-def _pool_features(params, x_uint8_range):
-    x = x_uint8_range.astype(jnp.float32) / 127.5 - 1.0
-    x = jax.image.resize(x, (x.shape[0], 299, 299, 3), method="bilinear")
-    return inception_net.pool_features(params, x)
+@functools.partial(jax.jit, static_argnames=("variant",))
+def _pool_features(params, x_uint8_range, variant: str = "torchvision"):
+    x = preprocess(x_uint8_range, variant)
+    return inception_net.pool_features(params, x, variant=variant)
 
 
-def pool_features(images: np.ndarray, params=None) -> np.ndarray:
+def pool_features(images: np.ndarray, params=None, variant=None) -> np.ndarray:
     """Batched 2048-d pool features for uint8-range RGB images."""
     params = params if params is not None else load_params()
+    variant = variant if variant is not None else get_variant()
     n = images.shape[0]
     out = []
     for i in range(0, n, _BATCH):
@@ -42,7 +42,7 @@ def pool_features(images: np.ndarray, params=None) -> np.ndarray:
             chunk = np.concatenate(
                 [chunk, np.zeros((pad,) + chunk.shape[1:], np.float32)]
             )
-        f = np.asarray(_pool_features(params, jnp.asarray(chunk)))
+        f = np.asarray(_pool_features(params, jnp.asarray(chunk), variant))
         out.append(f[: _BATCH - pad])
     return np.concatenate(out)
 

@@ -37,21 +37,28 @@ DEFAULT_WEIGHTS = "/tmp/imagenet/inception_v3_jax.npz"
 _BATCH = 100  # reference batch size (utils/inception.py:34)
 
 _params_cache = None
+_variant_cache = "torchvision"
 
 
 def load_params(path: Optional[str] = None):
-    """Load the converted classifier weights (cached)."""
-    global _params_cache
+    """Load the converted classifier weights (cached). The npz's
+    ``__variant__`` marker (written by ``convert_tf2015_inception.py``)
+    selects the network/preprocessing variant used by scoring."""
+    global _params_cache, _variant_cache
     if _params_cache is not None:
         return _params_cache
     path = path or os.environ.get("OTGAN_INCEPTION_WEIGHTS", DEFAULT_WEIGHTS)
     if not os.path.exists(path):
         raise FileNotFoundError(
-            f"Inception weights not found at {path}. Convert a torchvision "
-            "checkpoint with otgan_tpu/eval/convert_torch_inception.py or "
-            "set OTGAN_INCEPTION_WEIGHTS."
+            f"Inception weights not found at {path}. Convert the reference's "
+            "frozen TF-2015 graph with otgan_tpu/eval/"
+            "convert_tf2015_inception.py (exact IS parity) or a torchvision "
+            "checkpoint with convert_torch_inception.py, or set "
+            "OTGAN_INCEPTION_WEIGHTS."
         )
     with np.load(path) as data:
+        if "__variant__" in data:
+            _variant_cache = bytes(data["__variant__"]).decode("utf-8")
         spec = inception_net.param_spec(
             num_classes=int(data["fc/b"].shape[0])
         )
@@ -75,20 +82,60 @@ def load_params(path: Optional[str] = None):
     return _params_cache
 
 
-@functools.partial(jax.jit, static_argnames=())
-def _preds(params, x_uint8_range):
+def get_variant() -> str:
+    """Network/preprocessing variant of the loaded weights."""
+    return _variant_cache
+
+
+def _resize_bilinear_tf1(x, out_h: int, out_w: int):
+    """TF1 ``ResizeBilinear`` (align_corners=False, legacy non-half-pixel
+    sampling: src = out_idx * in/out) — the resize the frozen 2015 graph
+    applies to its input (``utils/inception.py:79-90`` feeds 'ExpandDims:0'
+    upstream of the graph's internal ResizeBilinear)."""
+    _, h, w, _ = x.shape
+
+    def grid(in_s, out_s):
+        src = jnp.arange(out_s, dtype=jnp.float32) * (in_s / out_s)
+        i0 = jnp.floor(src).astype(jnp.int32)
+        frac = src - i0.astype(jnp.float32)
+        i1 = jnp.minimum(i0 + 1, in_s - 1)
+        return i0, i1, frac
+
+    y0, y1, fy = grid(h, out_h)
+    x0, x1, fx = grid(w, out_w)
+    top, bot = x[:, y0], x[:, y1]
+    rows = top + (bot - top) * fy[None, :, None, None]
+    left, right = rows[:, :, x0], rows[:, :, x1]
+    return left + (right - left) * fx[None, None, :, None]
+
+
+def preprocess(x_uint8_range, variant: str = "torchvision"):
+    """(B, H, W, 3) in [0, 255] -> (B, 299, 299, 3) network inputs.
+
+    tf2015: legacy bilinear resize then (x - 128) / 128, exactly what the
+    frozen ``classify_image`` graph does between 'ExpandDims:0' and the
+    first conv. torchvision: half-pixel bilinear + x/127.5 - 1.
+    """
+    x = x_uint8_range.astype(jnp.float32)
+    if variant == "tf2015":
+        x = _resize_bilinear_tf1(x, 299, 299)
+        return (x - 128.0) / 128.0
+    x = x / 127.5 - 1.0
+    return jax.image.resize(x, (x.shape[0], 299, 299, 3), method="bilinear")
+
+
+@functools.partial(jax.jit, static_argnames=("variant",))
+def _preds(params, x_uint8_range, variant: str = "torchvision"):
     """(B, H, W, 3) in [0, 255] -> class probabilities (B, classes)."""
-    x = x_uint8_range.astype(jnp.float32) / 127.5 - 1.0
-    x = jax.image.resize(
-        x, (x.shape[0], 299, 299, 3), method="bilinear"
-    )
-    logits = inception_net.apply(params, x)
+    x = preprocess(x_uint8_range, variant)
+    logits = inception_net.apply(params, x, variant=variant)
     return jax.nn.softmax(logits, axis=-1)
 
 
-def predict_probs(images: np.ndarray, params=None) -> np.ndarray:
+def predict_probs(images: np.ndarray, params=None, variant=None) -> np.ndarray:
     """Batched classifier probabilities for a stack of images."""
     params = params if params is not None else load_params()
+    variant = variant if variant is not None else _variant_cache
     n = images.shape[0]
     out = []
     for i in range(0, n, _BATCH):
@@ -97,7 +144,7 @@ def predict_probs(images: np.ndarray, params=None) -> np.ndarray:
         if chunk.shape[0] < _BATCH:
             pad = _BATCH - chunk.shape[0]
             chunk = np.concatenate([chunk, np.zeros((pad,) + chunk.shape[1:], np.float32)])
-        p = np.asarray(_preds(params, jnp.asarray(chunk)))
+        p = np.asarray(_preds(params, jnp.asarray(chunk), variant))
         out.append(p[: _BATCH - pad])
     return np.concatenate(out)
 

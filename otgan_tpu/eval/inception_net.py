@@ -52,14 +52,22 @@ def _maxpool(x, size=3, stride=2, padding="VALID"):
     )
 
 
-def _avgpool3(x):
+def _avgpool3(x, exclude_pad: bool = False):
     # torchvision avg_pool2d(3, stride=1, padding=1) defaults to
     # count_include_pad=True: divisor is ALWAYS 9, including borders —
-    # converted weights require matching this
+    # converted torchvision weights require matching this. The TF-2015
+    # frozen graph's avg_pool EXCLUDES padding from the divisor
+    # (exclude_pad=True), selected by variant="tf2015".
     s = jax.lax.reduce_window(
         x, 0.0, jax.lax.add, (1, 3, 3, 1), (1, 1, 1, 1), "SAME"
     )
-    return s / 9.0
+    if not exclude_pad:
+        return s / 9.0
+    ones = jnp.ones(x.shape[1:3], x.dtype)[None, :, :, None]
+    count = jax.lax.reduce_window(
+        ones, 0.0, jax.lax.add, (1, 3, 3, 1), (1, 1, 1, 1), "SAME"
+    )
+    return s / count
 
 
 # ---------------------------------------------------------------------------
@@ -67,13 +75,13 @@ def _avgpool3(x):
 # ---------------------------------------------------------------------------
 
 
-def _inception_a(p, x):
+def _inception_a(p, x, exclude_pad=False):
     b1 = _conv_bn(p["b1x1"], x)
     b5 = _conv_bn(p["b5x5_2"], _conv_bn(p["b5x5_1"], x))
     b3 = _conv_bn(
         p["b3x3dbl_3"], _conv_bn(p["b3x3dbl_2"], _conv_bn(p["b3x3dbl_1"], x))
     )
-    bp = _conv_bn(p["bpool"], _avgpool3(x))
+    bp = _conv_bn(p["bpool"], _avgpool3(x, exclude_pad))
     return jnp.concatenate([b1, b5, b3, bp], axis=-1)
 
 
@@ -89,7 +97,7 @@ def _inception_b(p, x):
     return jnp.concatenate([b3, bd, bp], axis=-1)
 
 
-def _inception_c(p, x):
+def _inception_c(p, x, exclude_pad=False):
     b1 = _conv_bn(p["b1x1"], x)
     b7 = _conv_bn(
         p["b7x7_3"], _conv_bn(p["b7x7_2"], _conv_bn(p["b7x7_1"], x))
@@ -97,7 +105,7 @@ def _inception_c(p, x):
     bd = x
     for k in ("b7x7dbl_1", "b7x7dbl_2", "b7x7dbl_3", "b7x7dbl_4", "b7x7dbl_5"):
         bd = _conv_bn(p[k], bd)
-    bp = _conv_bn(p["bpool"], _avgpool3(x))
+    bp = _conv_bn(p["bpool"], _avgpool3(x, exclude_pad))
     return jnp.concatenate([b1, b7, bd, bp], axis=-1)
 
 
@@ -113,7 +121,7 @@ def _inception_d(p, x):
     return jnp.concatenate([b3, b7, bp], axis=-1)
 
 
-def _inception_e(p, x):
+def _inception_e(p, x, exclude_pad=False, pool_max=False):
     b1 = _conv_bn(p["b1x1"], x)
     b3 = _conv_bn(p["b3x3_1"], x)
     b3 = jnp.concatenate(
@@ -123,7 +131,12 @@ def _inception_e(p, x):
     bd = jnp.concatenate(
         [_conv_bn(p["b3x3dbl_3a"], bd), _conv_bn(p["b3x3dbl_3b"], bd)], axis=-1
     )
-    bp = _conv_bn(p["bpool"], _avgpool3(x))
+    if pool_max:
+        # TF-2015 quirk: mixed_10's pool branch is a MAX pool (the only
+        # E-block topology difference vs torchvision)
+        bp = _conv_bn(p["bpool"], _maxpool(x, size=3, stride=1, padding="SAME"))
+    else:
+        bp = _conv_bn(p["bpool"], _avgpool3(x, exclude_pad))
     return jnp.concatenate([b1, b3, bd, bp], axis=-1)
 
 
@@ -132,9 +145,18 @@ def _inception_e(p, x):
 # ---------------------------------------------------------------------------
 
 
-def pool_features(params: Dict, x: jax.Array) -> jax.Array:
+def pool_features(
+    params: Dict, x: jax.Array, variant: str = "torchvision"
+) -> jax.Array:
     """Images (N, 299, 299, 3) in [-1, 1] -> 2048-d pool features (the
-    trunk shared by the classifier head and FID)."""
+    trunk shared by the classifier head and FID).
+
+    ``variant="tf2015"`` reproduces the frozen 2015 ``classify_image``
+    graph's pooling semantics (avg-pools exclude padding; ``Mixed_7c``'s
+    pool branch is a max pool) for weights converted by
+    ``convert_tf2015_inception.py``; the reference executes that graph at
+    ``utils/inception.py:71-93``."""
+    ep = variant == "tf2015"
     p = params
     x = _conv_bn(p["Conv2d_1a_3x3"], x, stride=(2, 2), padding="VALID")
     x = _conv_bn(p["Conv2d_2a_3x3"], x, padding="VALID")
@@ -143,23 +165,25 @@ def pool_features(params: Dict, x: jax.Array) -> jax.Array:
     x = _conv_bn(p["Conv2d_3b_1x1"], x, padding="VALID")
     x = _conv_bn(p["Conv2d_4a_3x3"], x, padding="VALID")
     x = _maxpool(x)
-    x = _inception_a(p["Mixed_5b"], x)
-    x = _inception_a(p["Mixed_5c"], x)
-    x = _inception_a(p["Mixed_5d"], x)
+    x = _inception_a(p["Mixed_5b"], x, ep)
+    x = _inception_a(p["Mixed_5c"], x, ep)
+    x = _inception_a(p["Mixed_5d"], x, ep)
     x = _inception_b(p["Mixed_6a"], x)
-    x = _inception_c(p["Mixed_6b"], x)
-    x = _inception_c(p["Mixed_6c"], x)
-    x = _inception_c(p["Mixed_6d"], x)
-    x = _inception_c(p["Mixed_6e"], x)
+    x = _inception_c(p["Mixed_6b"], x, ep)
+    x = _inception_c(p["Mixed_6c"], x, ep)
+    x = _inception_c(p["Mixed_6d"], x, ep)
+    x = _inception_c(p["Mixed_6e"], x, ep)
     x = _inception_d(p["Mixed_7a"], x)
-    x = _inception_e(p["Mixed_7b"], x)
-    x = _inception_e(p["Mixed_7c"], x)
+    x = _inception_e(p["Mixed_7b"], x, ep)
+    x = _inception_e(p["Mixed_7c"], x, ep, pool_max=ep)
     return jnp.mean(x, axis=(1, 2))  # global average pool -> (N, 2048)
 
 
-def apply(params: Dict, x: jax.Array) -> jax.Array:
+def apply(
+    params: Dict, x: jax.Array, variant: str = "torchvision"
+) -> jax.Array:
     """Images (N, 299, 299, 3) normalized to [-1, 1] -> logits (N, classes)."""
-    f = pool_features(params, x)
+    f = pool_features(params, x, variant=variant)
     return f @ params["fc"]["w"] + params["fc"]["b"]
 
 
