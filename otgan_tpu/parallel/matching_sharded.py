@@ -11,17 +11,24 @@ entire pipeline stays row-sharded end-to-end under ``shard_map``:
   (n_loc = N/K): memory per chip drops K-fold vs the reference layout;
 * Sinkhorn row normalization is chip-local (rows are complete);
 * column normalization is a **cross-chip logsumexp**: ``pmax`` of the local
-  column maxima + ``psum`` of shifted exponentials — 2 small (6, N)
+  column maxima + ``psum`` of rescaled exponential sums — 2 small (6, N)
   collectives per iteration riding ICI;
+* the per-chip iteration body optionally runs as ONE fused Pallas pass
+  (``ops/sinkhorn_pallas_step.py``) instead of XLA's multi-pass lowering;
+* ``tol > 0`` switches the fixed ``fori_loop`` to a ``while_loop`` with a
+  sup-norm early exit on the column potential — the collective-reduced ``v``
+  is replicated across chips, so the stopping decision is too;
 * matched features: direct matmuls are local row-blocks; transposed
   matmuls (P^T f) are local partials reduced with one ``psum`` and sliced
   back to local rows.
 
-Batch-half convention: the global matcher (`ops.matching.match_two_batch`)
-splits the batch at B/2; here each chip splits its LOCAL batch in half
-(rows [0, b/2) are "batch 1"). The two conventions are related by a fixed
-batch permutation — statistically identical (minibatches are random), and
-tests verify exact equivalence modulo that permutation.
+Batch-half convention (two-batch): the global matcher
+(`ops.matching.match_two_batch`) splits the batch at B/2; here each chip
+splits its LOCAL batch in half (rows [0, b/2) are "batch 1"). The two
+conventions are related by a fixed batch permutation — statistically
+identical (minibatches are random), and tests verify exact equivalence
+modulo that permutation. The single-batch variant has no halving, so it is
+exactly equal to the global ``match_single_batch`` row-for-row.
 """
 
 from __future__ import annotations
@@ -31,7 +38,7 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from otgan_tpu.ops.costs import cosine_cost
@@ -40,41 +47,87 @@ from otgan_tpu.ops.matching import MatchedFeatures
 _PRECISION = jax.lax.Precision.HIGHEST
 
 
-def _sharded_sinkhorn_rows(
-    x_loc: jax.Array, n_iters: int, axis_name: str
-) -> jax.Array:
-    """Sinkhorn on row-sharded logits ``x_loc`` (..., n_loc, N).
+def _local_step_xla(x_loc: jax.Array, v: jax.Array):
+    """One local Sinkhorn iteration on row blocks (XLA lowering).
 
-    Returns the final row-sharded ``log_a`` (reference recursion,
-    ``utils/matching.py:50-54``). Row-softmax invariance makes the row
-    potential irrelevant to the outputs, so the carry is (u_loc, v).
+    ``x_loc``: (..., n_loc, N) logits rows; ``v``: (..., 1, N) column
+    potential. Returns the per-chip column-LSE partials ``(m_loc, s_loc)``
+    of ``x_loc + u`` where ``u = -rowLSE(x_loc + v)`` (reference recursion
+    ``utils/matching.py:50-54`` in dual-potential form; the row potential
+    never escapes — row softmax is invariant to it).
+    """
+    y = x_loc + v
+    rm = jnp.max(y, axis=-1, keepdims=True)
+    u = -(rm + jnp.log(jnp.sum(jnp.exp(y - rm), axis=-1, keepdims=True)))
+    z = x_loc + u
+    m_loc = jnp.max(z, axis=-2, keepdims=True)
+    s_loc = jnp.sum(jnp.exp(z - m_loc), axis=-2, keepdims=True)
+    return m_loc, s_loc
+
+
+def _sharded_sinkhorn_rows(
+    x_loc: jax.Array,
+    n_iters: int,
+    axis_name: str,
+    tol: float = 0.0,
+    use_pallas: bool = False,
+) -> jax.Array:
+    """Sinkhorn on row-sharded logits ``x_loc`` (b, n_loc, N).
+
+    Returns the final row-sharded log assignment up to per-row constants
+    (``x_loc + v``): downstream consumers apply a ROW softmax
+    (``utils/matching.py:56``), which is invariant to the row potential, so
+    only the column potential ``v`` is carried.
     """
     x_loc = jax.lax.stop_gradient(x_loc)
 
-    def body(_, carry):
-        u_loc, v = carry
-        # row step: rows are complete on-chip
-        y = x_loc + v
-        m = jnp.max(y, axis=-1, keepdims=True)
-        u_loc = -(
-            m + jnp.log(jnp.sum(jnp.exp(y - m), axis=-1, keepdims=True))
+    if use_pallas:
+        from otgan_tpu.ops.sinkhorn_pallas_step import (
+            fused_local_sinkhorn_step,
+            local_step_supported,
         )
-        # col step: distributed logsumexp over all chips' rows
-        z = x_loc + u_loc
-        m_loc = jnp.max(z, axis=-2, keepdims=True)
-        m_glob = jax.lax.pmax(m_loc, axis_name)
-        s_loc = jnp.sum(jnp.exp(z - m_glob), axis=-2, keepdims=True)
-        s_glob = jax.lax.psum(s_loc, axis_name)
-        v = -(m_glob + jnp.log(s_glob))
-        return (u_loc, v)
 
-    # shard_map varying-axis typing: u is per-chip (mesh-varying) so its
-    # carry init derives from x_loc; v comes out of pmax/psum collectives
-    # (axis-INVARIANT) so its init must be plain (invariant) zeros.
-    u0 = jnp.zeros_like(x_loc[..., :1])
+        b, n_loc, n = x_loc.shape
+        if local_step_supported(n_loc, n):
+            interpret = jax.default_backend() != "tpu"
+            local_step = functools.partial(
+                fused_local_sinkhorn_step, interpret=interpret
+            )
+        else:
+            local_step = _local_step_xla
+    else:
+        local_step = _local_step_xla
+
+    def step(v):
+        m_loc, s_loc = local_step(x_loc, v)
+        # cross-chip logsumexp: global max, then rescale the local sums
+        m_glob = jax.lax.pmax(m_loc, axis_name)
+        s_glob = jax.lax.psum(s_loc * jnp.exp(m_loc - m_glob), axis_name)
+        return -(m_glob + jnp.log(s_glob))
+
+    # v comes out of pmax/psum collectives (axis-INVARIANT) so its init must
+    # be plain (invariant) zeros under shard_map's varying-axis typing.
     v0 = jnp.zeros(x_loc.shape[:-2] + (1, x_loc.shape[-1]), jnp.float32)
-    u_loc, v = jax.lax.fori_loop(0, n_iters, body, (u0, v0))
-    return x_loc + u_loc + v
+
+    if tol > 0.0:
+        # early exit on the sup-norm movement of the (replicated) column
+        # potential — every chip sees the same v, so every chip stops at the
+        # same iteration (no collective divergence)
+        def cond(carry):
+            _, delta, i = carry
+            return jnp.logical_and(i < n_iters, delta >= tol)
+
+        def body(carry):
+            v_prev, _, i = carry
+            v = step(v_prev)
+            return (v, jnp.max(jnp.abs(v - v_prev)), i + 1)
+
+        v, _, _ = jax.lax.while_loop(
+            cond, body, (v0, jnp.asarray(jnp.inf, jnp.float32), 0)
+        )
+    else:
+        v = jax.lax.fori_loop(0, n_iters, lambda _, v: step(v), v0)
+    return x_loc + v
 
 
 def _row_softmax_entropy(log_a: jax.Array, axis_name: str):
@@ -90,6 +143,8 @@ def make_sharded_two_batch_matcher(
     n_iters: int,
     cost_fn: Callable = cosine_cost,
     axis_name: str = "data",
+    tol: float = 0.0,
+    use_pallas: bool = False,
 ):
     """Build a jitted ``(features_a, features_b) -> MatchedFeatures`` over a
     1-D mesh. Inputs are global (B, d) arrays sharded (or shardable) on the
@@ -122,7 +177,9 @@ def make_sharded_two_batch_matcher(
                 cost_fn(fa2l, fb2),
             ]
         )
-        log_a = _sharded_sinkhorn_rows(-lam * costs, n_iters, axis_name)
+        log_a = _sharded_sinkhorn_rows(
+            -lam * costs, n_iters, axis_name, tol=tol, use_pallas=use_pallas
+        )
         p, entropy = _row_softmax_entropy(log_a, axis_name)
         p_a1a2, p_b2b1, p_a1b1, p_a1b2, p_a2b1, p_a2b2 = p
 
@@ -171,6 +228,7 @@ def make_sharded_two_batch_matcher(
             P(axis_name),
             P(),
         ),
+        check_vma=False,
     )
 
     @jax.jit
@@ -180,6 +238,85 @@ def make_sharded_two_batch_matcher(
             raise ValueError(
                 f"global batch {B} must be divisible by 2*n_devices "
                 f"({2 * n_dev}) for sharded two-batch matching"
+            )
+        a_a, b_b, a_b, b_a, ent = sharded(features_a, features_b)
+        return MatchedFeatures(a_a, b_b, a_b, b_a, ent)
+
+    return matcher
+
+
+def make_sharded_single_batch_matcher(
+    mesh: Mesh,
+    lam: float,
+    n_iters: int,
+    cost_fn: Callable = cosine_cost,
+    axis_name: str = "data",
+    tol: float = 0.0,
+    use_pallas: bool = False,
+):
+    """Row-sharded single-batch matcher (reference
+    ``get_matched_features_single_batch``, ``utils/matching.py:88-136``):
+    3 cost matrices (a·a, b·b, a·b) with ``+999`` on the self-match
+    diagonals (``:109-110``). No batch halving, so outputs are EXACTLY the
+    global ``match_single_batch`` rows (no permutation)."""
+
+    n_dev = mesh.devices.size
+
+    def local(fa_loc, fb_loc):
+        b_loc = fa_loc.shape[0]
+        fa = jax.lax.all_gather(fa_loc, axis_name, tiled=True)  # (B, d)
+        fb = jax.lax.all_gather(fb_loc, axis_name, tiled=True)
+        B = fa.shape[0]
+        idx = jax.lax.axis_index(axis_name)
+        # local rows of the 999*I diagonal: row i here is global row
+        # idx*b_loc + i (utils/matching.py:109-110)
+        rows = idx * b_loc + jnp.arange(b_loc)
+        eye_blk = jnp.where(
+            rows[:, None] == jnp.arange(B)[None, :], 999.0, 0.0
+        ).astype(jnp.float32)
+        costs = jnp.stack(
+            [
+                cost_fn(fa_loc, fa) + eye_blk,
+                cost_fn(fb_loc, fb) + eye_blk,
+                cost_fn(fa_loc, fb),
+            ]
+        )
+        log_a = _sharded_sinkhorn_rows(
+            -lam * costs, n_iters, axis_name, tol=tol, use_pallas=use_pallas
+        )
+        p, entropy = _row_softmax_entropy(log_a, axis_name)
+        p_aa, p_bb, p_ab = p
+
+        mm = lambda a, b: jnp.matmul(a, b, precision=_PRECISION)
+        a_a = mm(p_aa, fa)
+        b_b = mm(p_bb, fb)
+        a_b = mm(p_ab, fb)
+        # transposed matmul: local partial -> psum -> local rows
+        full = jax.lax.psum(mm(p_ab.T, fa_loc), axis_name)  # (B, d)
+        b_a = jax.lax.dynamic_slice_in_dim(full, idx * b_loc, b_loc, 0)
+        return a_a, b_b, a_b, b_a, entropy
+
+    sharded = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis_name), P(axis_name)),
+        out_specs=(
+            P(axis_name),
+            P(axis_name),
+            P(axis_name),
+            P(axis_name),
+            P(),
+        ),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def matcher(features_a: jax.Array, features_b: jax.Array):
+        B = features_a.shape[0]
+        if B % n_dev != 0:
+            raise ValueError(
+                f"global batch {B} must be divisible by n_devices "
+                f"({n_dev}) for sharded single-batch matching"
             )
         a_a, b_b, a_b, b_a, ent = sharded(features_a, features_b)
         return MatchedFeatures(a_a, b_b, a_b, b_a, ent)

@@ -5,8 +5,13 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from otgan_tpu.ops.matching import calc_distance, match_two_batch
+from otgan_tpu.ops.matching import (
+    calc_distance,
+    match_single_batch,
+    match_two_batch,
+)
 from otgan_tpu.parallel.matching_sharded import (
+    make_sharded_single_batch_matcher,
     make_sharded_two_batch_matcher,
     sharded_permutation,
 )
@@ -141,3 +146,92 @@ def test_engine_sharded_vs_global_matching_close_distance():
     np.testing.assert_allclose(
         float(met_s.entropy), float(met_g.entropy), rtol=0.1
     )
+
+
+def test_sharded_single_batch_matches_global_exactly():
+    """No batch halving in single-batch mode -> the sharded matcher must
+    reproduce the global ``match_single_batch`` row-for-row (no
+    permutation), including the +999 self-match diagonals."""
+    B = 64
+    mesh = make_mesh(8)
+    fa, fb = _features(7, B), _features(8, B)
+    matcher = make_sharded_single_batch_matcher(mesh, LAM, ITERS)
+    got = matcher(
+        shard_batch(mesh, jnp.asarray(fa)), shard_batch(mesh, jnp.asarray(fb))
+    )
+    want = match_single_batch(jnp.asarray(fa), jnp.asarray(fb), LAM, ITERS)
+    for g, w in [
+        (got.a_a, want.a_a),
+        (got.b_b, want.b_b),
+        (got.a_b, want.a_b),
+        (got.b_a, want.b_a),
+    ]:
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), atol=2e-4)
+    np.testing.assert_allclose(
+        float(got.entropy), float(want.entropy), atol=1e-4
+    )
+
+
+def test_sharded_single_batch_divisibility_check():
+    mesh = make_mesh(8)
+    matcher = make_sharded_single_batch_matcher(mesh, LAM, 5)
+    f = jnp.asarray(_features(9, 60))  # 60 not divisible by 8
+    try:
+        matcher(f, f)
+        assert False
+    except ValueError as e:
+        assert "divisible" in str(e)
+
+
+def test_sharded_tol_early_exit_matches_fixed_loop():
+    """tol > 0 runs a collective while_loop; at a tight tolerance the
+    assignment must agree with the fixed-count loop."""
+    B = 64
+    mesh = make_mesh(8)
+    fa, fb = _features(10, B), _features(11, B)
+    exact = make_sharded_two_batch_matcher(mesh, LAM, 200)
+    tol = make_sharded_two_batch_matcher(mesh, LAM, 200, tol=1e-6)
+    fa_s = shard_batch(mesh, jnp.asarray(fa))
+    fb_s = shard_batch(mesh, jnp.asarray(fb))
+    got_e, got_t = exact(fa_s, fb_s), tol(fa_s, fb_s)
+    for g, w in zip(got_t[:4], got_e[:4]):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), atol=1e-4)
+
+
+def test_sharded_pallas_local_step_matches_xla():
+    """The fused Pallas local-iteration kernel (interpret mode on CPU) must
+    reproduce the XLA lowering bit-closely, two-batch and single-batch.
+
+    B=256 so both gathered widths are lane-aligned (two-batch N=128,
+    single-batch N=256) — smaller widths would silently fall back to XLA."""
+    B = 256
+    mesh = make_mesh(8)
+    fa, fb = _features(12, B), _features(13, B)
+    fa_s = shard_batch(mesh, jnp.asarray(fa))
+    fb_s = shard_batch(mesh, jnp.asarray(fb))
+    for make in (
+        make_sharded_two_batch_matcher,
+        make_sharded_single_batch_matcher,
+    ):
+        ref = make(mesh, LAM, ITERS)(fa_s, fb_s)
+        got = make(mesh, LAM, ITERS, use_pallas=True)(fa_s, fb_s)
+        for g, w in zip(got[:4], ref[:4]):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(w), atol=1e-5)
+        np.testing.assert_allclose(
+            float(got.entropy), float(ref.entropy), atol=1e-5
+        )
+
+
+def test_fused_local_step_unit():
+    """Unit parity: fused_local_sinkhorn_step (interpret) vs the plain XLA
+    local step on random logits."""
+    from otgan_tpu.ops.sinkhorn_pallas_step import fused_local_sinkhorn_step
+    from otgan_tpu.parallel.matching_sharded import _local_step_xla
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(-50, 0, (3, 16, 128)).astype(np.float32))
+    v = jnp.asarray(rng.uniform(-5, 5, (3, 1, 128)).astype(np.float32))
+    m_k, s_k = fused_local_sinkhorn_step(x, v, interpret=True)
+    m_x, s_x = _local_step_xla(x, v)
+    np.testing.assert_allclose(np.asarray(m_k), np.asarray(m_x), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(s_k), np.asarray(s_x), rtol=1e-5)
