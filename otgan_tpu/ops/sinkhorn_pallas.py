@@ -1,7 +1,13 @@
-"""Fused Pallas TPU kernel for the Sinkhorn loop — the marquee native
-component of the rebuild (SURVEY.md sections 2.2, 7 step 7).
+"""Pallas Sinkhorn kernel dispatch + the fused full-matrix-carry kernel.
 
-The reference unrolls 500 full-matrix row/col logsumexp updates into the TF
+``sinkhorn_assignment_pallas`` is the production entry: it routes to the
+panel kernel (``sinkhorn_pallas_tiled``, VMEM-resident or streaming by
+size) with an XLA fallback for tile-misaligned shapes — thresholds are
+hardware-measured, see its docstring and docs/DESIGN.md section 3.
+
+The rest of this module is the round-1 fused kernel, kept for parity
+benchmarking (`bench.py` cross-checks it against XLA on-chip). The
+reference unrolls 500 full-matrix row/col logsumexp updates into the TF
 graph and round-robins 6 such chains over GPUs (``utils/matching.py:49-57``),
 bouncing the N x N matrix through HBM twice per iteration. This kernel holds
 ``-lam * C`` in VMEM once and runs the entire iteration loop on-chip:
@@ -118,31 +124,29 @@ def _sinkhorn_pallas_batched(
 
 
 def sinkhorn_assignment_pallas(cost: jax.Array, lam: float, n_iters: int):
-    """Drop-in for ``sinkhorn.sinkhorn_assignment``: cost ``(..., N, M)`` ->
-    (assignment ``(..., N, M)``, entropy ``(...)``). Falls back to the XLA
-    path when the matrix doesn't satisfy kernel constraints."""
+    """Kernel dispatcher for ``sinkhorn.sinkhorn_assignment``: cost
+    ``(..., N, M)`` -> (assignment ``(..., N, M)``, entropy ``(...)``).
+
+    Routes every supported shape to the panel kernel in
+    ``sinkhorn_pallas_tiled`` (VMEM-resident single panel for small/mid
+    matrices, streaming panels beyond) and falls back to the XLA loop on
+    tile-misaligned shapes. Measured on v5e across the production 6-stack
+    (docs/DESIGN.md section 3): the panel kernel is within ~15% of the best
+    path at every size and 2.5x faster than XLA vmap at paper scale
+    (6 x 2560^2 x 500 iters: 4.7 s vs 12.0 s). The fused full-matrix-carry
+    kernel below (``_sinkhorn_pallas_batched``) is retained for parity
+    benchmarking but no longer dispatched: its carry halves the residency
+    ceiling (768^2) and its double-buffered batched form overflows VMEM at
+    6 x 768^2."""
     n, m = cost.shape[-2:]
-    if not pallas_supported(n, m):
-        from otgan_tpu.ops.sinkhorn_pallas_tiled import (
-            sinkhorn_assignment_tiled,
-            tiled_supported,
-        )
+    from otgan_tpu.ops.sinkhorn_pallas_tiled import (
+        sinkhorn_assignment_tiled,
+        tiled_supported,
+    )
 
-        # measured on v5e (docs/DESIGN.md section 3): the streaming tiled
-        # kernel wins up to ~1024^2; beyond that XLA's loop is already
-        # exp-throughput-bound and faster
-        if tiled_supported(n, m) and n * m <= 1024 * 1024:
-            return sinkhorn_assignment_tiled(cost, lam, n_iters)
-        from otgan_tpu.ops.sinkhorn import (
-            assignment_and_entropy,
-            sinkhorn_log,
-        )
+    if tiled_supported(n, m):
+        return sinkhorn_assignment_tiled(cost, lam, n_iters)
+    from otgan_tpu.ops.sinkhorn import assignment_and_entropy, sinkhorn_log
 
-        log_a, _, _ = sinkhorn_log(-lam * cost.astype(jnp.float32), n_iters)
-        return assignment_and_entropy(log_a)
-
-    batch_shape = cost.shape[:-2]
-    flat = cost.astype(jnp.float32).reshape((-1, n, m))
-    interpret = jax.default_backend() != "tpu"
-    p, ent = _sinkhorn_pallas_batched(flat, lam, n_iters, interpret=interpret)
-    return p.reshape(cost.shape), ent.reshape(batch_shape)
+    log_a, _, _ = sinkhorn_log(-lam * cost.astype(jnp.float32), n_iters)
+    return assignment_and_entropy(log_a)

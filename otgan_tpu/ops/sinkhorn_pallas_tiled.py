@@ -1,16 +1,23 @@
-"""Streaming (HBM-tiled) Pallas Sinkhorn for matrices larger than VMEM.
+"""Streaming / VMEM-resident (panel-tiled) Pallas Sinkhorn.
 
-For N x N cost matrices that do not fit on-chip (the paper-scale regime:
-global batch 5000-8000 => N = 2500-4000, 25-64 MB per matrix, SURVEY.md
-section 5.7), each Sinkhorn iteration must stream the matrix from HBM. The
-naive schedule (and the XLA fallback) does TWO passes per iteration — a row
-pass for ``u`` and a column pass for ``v``. This kernel does ONE:
+For N x N cost matrices beyond the fused VMEM kernel's ceiling (the
+paper-scale regime: global batch 5000-8000 => N = 2500-4000, 25-64 MB per
+matrix, SURVEY.md section 5.7), each Sinkhorn iteration must either stream
+the matrix from HBM or keep it resident. This kernel does both with one
+schedule, picked by size:
 
-* grid = (n_iters, n_panels): row panels of ``-lam*C`` stream through VMEM
+* grid = (n_iters, n_panels): row panels of ``-lam*C`` move through VMEM
   (Pallas double-buffers the DMA);
-* for each panel: finalize the panel's row potentials ``u`` against the
-  current ``v`` (rows are complete within a panel), then immediately fold
-  the panel's contribution into *online logsumexp* column accumulators
+* **resident mode** (``n_panels == 1``, matrices up to ``_RESIDENT_CELLS``):
+  the panel index map is constant across iterations, so Pallas keeps the
+  whole matrix in VMEM for all ``n_iters`` — zero HBM traffic in the loop.
+  Unlike the fused VMEM kernel (``sinkhorn_pallas.py``), the loop state is
+  three (1, N) scratch rows instead of an (N, M) carry, so matrices up to
+  ~2x larger fit (the round-1 1024^2 ceiling, docs/BACKLOG.md item 6);
+* **streaming mode** (larger matrices): one pass per iteration — for each
+  panel, finalize the panel's row potentials ``u`` against the current
+  ``v`` (rows are complete within a panel), then immediately fold the
+  panel's contribution into *online logsumexp* column accumulators
   (running max ``m`` + rescaled sum ``s``) while the panel is still in
   VMEM — the Gauss-Seidel update order of the reference recursion
   (``utils/matching.py:52-54``) is preserved exactly;
@@ -21,8 +28,12 @@ State (v, m, s: one (1, N) row each) lives in VMEM scratch, which persists
 across the sequential TPU grid. Output is the final column potential ``v``;
 the assignment is recovered outside as ``softmax_rows(-lam*C + v)`` (row
 potentials are irrelevant to a row softmax), costing one more streamed pass.
-HBM traffic: (n_iters + 2) * N^2 reads vs the two-pass schedule's
-2 * n_iters * N^2 — an asymptotic 2x.
+Streaming HBM traffic: (n_iters + 2) * N^2 reads vs the two-pass schedule's
+2 * n_iters * N^2 — an asymptotic 2x; resident traffic: 2 * N^2 total.
+
+The ``-lam`` scaling happens OUTSIDE the kernel: XLA fuses it into the
+cost-matmul epilogue (zero extra HBM traffic), and the kernel avoids
+holding both the raw and the scaled matrix in VMEM at once.
 """
 
 from __future__ import annotations
@@ -36,12 +47,21 @@ from jax.experimental.pallas import tpu as pltpu
 
 _LANE = 128
 _SUBLANE = 8
-# row-panel height: panel bytes = PANEL * N * 4; at N=4096 this is 2 MB,
-# x2 for double buffering + scratch rows — comfortably inside VMEM
-_PANEL = 128
+# streaming row-panel heights, largest first: taller panels amortize grid
+# overhead (v5e, 6x2560^2 x500 iters: panel 512 -> 4.69 s, 256 -> 5.39 s,
+# 128 -> 6.15 s vs XLA vmap 11.96 s); capped so panel x N x 4 B x 2
+# (double buffering) + scratch stays inside the ~16 MB/core VMEM
+_PANELS = (512, 256, 128)
+_PANEL_CELLS = 512 * 2560  # hardware-verified double-buffered panel budget
+# single-panel residency ceiling (cells): the whole matrix stays in VMEM
+# across the iteration grid with only three (1, N) scratch rows of state
+# (the round-1 VMEM kernel's full-matrix carry capped it at 768^2 and its
+# double-buffered batched form OOM'd at 6x768^2). 1280x1024 f32 (5 MB)
+# verified on v5e, see docs/DESIGN.md section 3
+_RESIDENT_CELLS = 1280 * 1024
 
 
-def _kernel(x_ref, v_out_ref, v_ref, m_ref, s_ref, *, lam: float):
+def _kernel(x_ref, v_out_ref, v_ref, m_ref, s_ref):
     it = pl.program_id(0)
     j = pl.program_id(1)
     n_panels = pl.num_programs(1)
@@ -59,7 +79,7 @@ def _kernel(x_ref, v_out_ref, v_ref, m_ref, s_ref, *, lam: float):
         m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
         s_ref[...] = jnp.zeros_like(s_ref)
 
-    x = -lam * x_ref[...]  # (PANEL, N) logits panel
+    x = x_ref[...]  # (PANEL, N) pre-scaled logits panel (-lam * C rows)
     y = x + v_ref[...]
     # row step for this panel (rows complete): u = -logsumexp_rows(y)
     rm = jnp.max(y, axis=1, keepdims=True)
@@ -86,16 +106,28 @@ def _kernel(x_ref, v_out_ref, v_ref, m_ref, s_ref, *, lam: float):
         v_out_ref[...] = -(m_ref[...] + jnp.log(s_ref[...]))
 
 
-@functools.partial(jax.jit, static_argnames=("lam", "n_iters", "interpret"))
-def _col_potential(cost: jax.Array, lam: float, n_iters: int, interpret: bool = False):
-    n, m = cost.shape
-    n_panels = n // _PANEL
+def _pick_panel(n: int, m: int) -> int:
+    """Full-height (resident) panel when the matrix fits VMEM, else the
+    tallest streaming panel that divides n and fits double-buffered."""
+    if n * m <= _RESIDENT_CELLS and n % _SUBLANE == 0:
+        return n
+    for p in _PANELS:
+        if n % p == 0 and p * m <= _PANEL_CELLS:
+            return p
+    return _PANELS[-1]
+
+
+@functools.partial(jax.jit, static_argnames=("n_iters", "interpret"))
+def _col_potential(neg_lam_cost: jax.Array, n_iters: int, interpret: bool = False):
+    n, m = neg_lam_cost.shape
+    panel = _pick_panel(n, m)
+    n_panels = n // panel
     return pl.pallas_call(
-        functools.partial(_kernel, lam=lam),
+        _kernel,
         grid=(n_iters, n_panels),
         in_specs=[
             pl.BlockSpec(
-                (_PANEL, m), lambda it, j: (j, 0), memory_space=pltpu.VMEM
+                (panel, m), lambda it, j: (j, 0), memory_space=pltpu.VMEM
             )
         ],
         out_specs=pl.BlockSpec(
@@ -109,21 +141,20 @@ def _col_potential(cost: jax.Array, lam: float, n_iters: int, interpret: bool = 
         ],
         cost_estimate=pl.CostEstimate(
             flops=4 * n * m * n_iters,
-            bytes_accessed=n * m * 4 * n_iters,
+            bytes_accessed=(n * m * 4 * n_iters if n_panels > 1 else n * m * 4),
             transcendentals=2 * n * m * n_iters,
         ),
         interpret=interpret,
-    )(cost.astype(jnp.float32))
+    )(neg_lam_cost)
 
 
 def tiled_supported(n: int, m: int) -> bool:
-    return (
-        n % _PANEL == 0
-        and m % _LANE == 0
-        and n * m > 0
-    )
+    if m % _LANE != 0 or n * m == 0:
+        return False
+    return n % _pick_panel(n, m) == 0
 
 
+@functools.partial(jax.jit, static_argnames=("lam", "n_iters"))
 def sinkhorn_assignment_tiled(cost: jax.Array, lam: float, n_iters: int):
     """Drop-in for ``sinkhorn_assignment`` on matrices too large for the
     VMEM-resident kernel: cost (..., N, M) -> (P, entropy)."""
@@ -139,8 +170,9 @@ def sinkhorn_assignment_tiled(cost: jax.Array, lam: float, n_iters: int):
     flat = cost.astype(jnp.float32).reshape((-1, n, m))
 
     def one(c2d):
-        v = _col_potential(c2d, lam, n_iters, interpret=interpret)
-        log_a = -lam * c2d + v  # row potential irrelevant to row softmax
+        x = -lam * c2d  # fused into the cost producer by XLA
+        v = _col_potential(x, n_iters, interpret=interpret)
+        log_a = x + v  # row potential irrelevant to row softmax
         p = jax.nn.softmax(log_a, axis=-1)
         logp = jax.nn.log_softmax(log_a, axis=-1)
         ent = jnp.mean(-jnp.sum(p * logp, axis=-1))

@@ -50,3 +50,37 @@ def test_unsupported_shape_falls_back():
     p, e = sinkhorn_assignment_tiled(cost, 20.0, 20)
     p_ref, e_ref = sinkhorn_assignment(cost, 20.0, 20)
     np.testing.assert_allclose(np.asarray(p), np.asarray(p_ref), atol=1e-6)
+
+
+def test_resident_single_panel_matches_xla():
+    """Matrices under the residency ceiling run as ONE full-height panel
+    (sublane-aligned rows suffice; no 128-row panel alignment needed)."""
+    from otgan_tpu.ops import sinkhorn_pallas_tiled as tk
+
+    assert tk._pick_panel(136, 128) == 136  # resident despite 136 % 128 != 0
+    assert tiled_supported(136, 128)
+    cost = jnp.asarray(_cost(3, 136, 128))
+    p_ref, e_ref = sinkhorn_assignment(cost, 50.0, 40)
+    p, e = sinkhorn_assignment_tiled(cost, 50.0, 40)
+    np.testing.assert_allclose(np.asarray(p), np.asarray(p_ref), atol=1e-5)
+    np.testing.assert_allclose(float(e), float(e_ref), atol=1e-4)
+
+
+def test_streaming_multi_panel_matches_xla(monkeypatch):
+    """Force the streaming schedule (resident ceiling -> 0) and check the
+    online column-LSE accumulation against XLA across panels."""
+    from otgan_tpu.ops import sinkhorn_pallas_tiled as tk
+
+    monkeypatch.setattr(tk, "_RESIDENT_CELLS", 0)
+    # the jitted wrapper caches by shape/static args, not by the ceiling
+    # global — clear so this shape is re-traced under the patched ceiling
+    tk.sinkhorn_assignment_tiled.clear_cache()
+    tk._col_potential.clear_cache()
+    assert tk._pick_panel(384, 128) == 128
+    cost = jnp.asarray(_cost(4, 384, 128))
+    p_ref, e_ref = sinkhorn_assignment(cost, 50.0, 40)
+    p, e = tk.sinkhorn_assignment_tiled(cost, 50.0, 40)
+    np.testing.assert_allclose(np.asarray(p), np.asarray(p_ref), atol=1e-5)
+    np.testing.assert_allclose(float(e), float(e_ref), atol=1e-4)
+    tk.sinkhorn_assignment_tiled.clear_cache()
+    tk._col_potential.clear_cache()
