@@ -172,6 +172,7 @@ def main(argv=None):
         return gp, dp, gs, ds, aux
 
     rng = np.random.default_rng(args.seed)
+    snapshots = []
     for it in range(1, args.steps + 1):
         z1 = jax.random.normal(jax.random.PRNGKey(2 * it), (args.batch_size, Z_DIM))
         z2 = jax.random.normal(jax.random.PRNGKey(2 * it + 1), (args.batch_size, Z_DIM))
@@ -181,11 +182,20 @@ def main(argv=None):
             z = jax.random.normal(jax.random.PRNGKey(999999 + it), (1000, Z_DIM))
             s = np.asarray(mlp(gp, z))
             np.save(os.path.join(args.save_dir, f"{args.model}_{it}.npy"), s)
+            snapshots.append((it, s))
             print(
                 f"[{args.model}] step {it}: modes={mode_coverage(s)}/8 "
                 f"aux={float(aux):.4f}",
                 flush=True,
             )
+    if snapshots:
+        # KDE evolution figure, the notebooks' final artifact
+        # (med_gan_toy_example2.ipynb cell 2)
+        from otgan_tpu.utils.plotting import kde_evolution_plot
+
+        kde_evolution_plot(
+            snapshots, os.path.join(args.save_dir, f"{args.model}_kde.png")
+        )
     return gp, dp
 
 

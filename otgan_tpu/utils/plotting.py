@@ -157,3 +157,43 @@ def tile_raster_images(
                 img * (255 if output_pixel_vals else 1)
             )
     return out
+
+
+def kde_evolution_plot(
+    snapshots, path: str, xmax: float = 4.0, levels: int = 20
+) -> None:
+    """KDE evolution grid for 2-D toy samples — the reference notebooks'
+    final artifact (``toy_example/med_gan_toy_example2.ipynb`` cell 2:
+    seaborn ``kdeplot`` per snapshot, 'Oranges' colormap, 20 levels,
+    clipped to [-xmax, xmax]^2, one column per snapshot with the step in
+    the title).
+
+    ``snapshots``: sequence of ``(step, samples)`` pairs with samples
+    ``(N, 2)``. Written with matplotlib + a Gaussian KDE (scipy), no
+    seaborn dependency.
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from scipy.stats import gaussian_kde
+
+    snapshots = list(snapshots)
+    cols = max(len(snapshots), 1)
+    fig, axes = plt.subplots(1, cols, figsize=(2 * cols, 2), squeeze=False)
+    grid = np.linspace(-xmax, xmax, 120)
+    gx, gy = np.meshgrid(grid, grid)
+    pts = np.stack([gx.ravel(), gy.ravel()])
+    for ax, (step, samples) in zip(axes[0], snapshots):
+        samples = np.asarray(samples, np.float64)
+        try:
+            density = gaussian_kde(samples.T)(pts).reshape(gx.shape)
+        except np.linalg.LinAlgError:  # fully collapsed samples
+            density = np.zeros_like(gx)
+        ax.contourf(gx, gy, density, levels=levels, cmap="Oranges")
+        ax.set_xticks([])
+        ax.set_yticks([])
+        ax.set_title(f"step {step}", fontsize=8)
+    fig.tight_layout()
+    fig.savefig(path, bbox_inches="tight", dpi=120)
+    plt.close(fig)

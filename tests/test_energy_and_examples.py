@@ -58,3 +58,21 @@ def test_toy_baselines_smoke():
         )
         for p in gp:
             assert np.all(np.isfinite(np.asarray(p["w"])))
+
+
+def test_kde_evolution_plot(tmp_path):
+    import numpy as np
+
+    from otgan_tpu.utils.plotting import kde_evolution_plot
+
+    rng = np.random.default_rng(0)
+    snaps = [
+        (500, rng.standard_normal((300, 2))),
+        (1000, rng.standard_normal((300, 2)) + 2.0),
+        (1500, np.zeros((300, 2))),  # collapsed -> singular KDE handled
+    ]
+    path = str(tmp_path / "kde.png")
+    kde_evolution_plot(snaps, path)
+    import os
+
+    assert os.path.getsize(path) > 1000
