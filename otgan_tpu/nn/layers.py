@@ -372,7 +372,15 @@ class Module:
             return self._spec(scope, *a, **kwargs)
 
         if self._remat:
-            return jax.checkpoint(run)(params, *args)
+            # non-array args (e.g. the generator's static batch_size int)
+            # must stay static under jax.checkpoint — tracing them breaks
+            # shape construction inside the spec
+            static = tuple(
+                i + 1
+                for i, a in enumerate(args)
+                if not isinstance(a, (jax.Array, np.ndarray))
+            )
+            return jax.checkpoint(run, static_argnums=static)(params, *args)
         return run(params, *args)
 
 
