@@ -253,9 +253,16 @@ def train(cfg: TrainConfig) -> TrainState:
 
 def _maybe_inception_eval(cfg, engine, state, logger, step_counter):
     try:
-        from otgan_tpu.eval.inception import get_inception_score
+        from otgan_tpu.eval.inception import get_inception_score, load_params
     except Exception as e:  # pragma: no cover
         print(f"inception eval unavailable: {e}")
+        return
+    try:
+        # probe weights BEFORE generating inception_samples images — the
+        # 50 000-sample generation + host transfer is pointless without them
+        load_params()
+    except FileNotFoundError as e:
+        print(f"inception weights unavailable, skipping eval: {e}")
         return
     for ema in (False, True):
         samples = []
