@@ -86,24 +86,41 @@ class Engine:
             shard = max(cfg.batch_size // max(n_dev, 1), 1)
             return functools.partial(match_random, shard_size=shard)
         if cfg.sharded_matching and n_dev > 1:
-            from otgan_tpu.parallel.matching_sharded import (
-                make_sharded_single_batch_matcher,
-                make_sharded_two_batch_matcher,
-            )
+            # divisibility: the row-sharded matcher needs whole local
+            # (half-)batches per chip. The reference's own train.py default
+            # (global 5000 on 8 devices) fails the two-batch requirement
+            # (5000 % 16 != 0) — fall back to the GSPMD global matcher
+            # with a warning instead of erroring at the first step.
+            quantum = n_dev if cfg.single_batch else 2 * n_dev
+            if cfg.batch_size % quantum != 0:
+                import warnings
 
-            make = (
-                make_sharded_single_batch_matcher
-                if cfg.single_batch
-                else make_sharded_two_batch_matcher
-            )
-            return make(
-                self.mesh,
-                cfg.sinkhorn_lambda,
-                cfg.nr_sinkhorn_iter,
-                cost_fn=self.cost_fn,
-                tol=cfg.sinkhorn_tol,
-                use_pallas=cfg.use_pallas,
-            )
+                warnings.warn(
+                    f"global batch {cfg.batch_size} is not divisible by "
+                    f"{quantum} (n_devices x {'1' if cfg.single_batch else '2'}"
+                    "): using the GSPMD global matcher instead of the "
+                    "row-sharded shard_map matcher",
+                    stacklevel=2,
+                )
+            else:
+                from otgan_tpu.parallel.matching_sharded import (
+                    make_sharded_single_batch_matcher,
+                    make_sharded_two_batch_matcher,
+                )
+
+                make = (
+                    make_sharded_single_batch_matcher
+                    if cfg.single_batch
+                    else make_sharded_two_batch_matcher
+                )
+                return make(
+                    self.mesh,
+                    cfg.sinkhorn_lambda,
+                    cfg.nr_sinkhorn_iter,
+                    cost_fn=self.cost_fn,
+                    tol=cfg.sinkhorn_tol,
+                    use_pallas=cfg.use_pallas,
+                )
         use_pallas = cfg.use_pallas and jax.default_backend() == "tpu"
         match = match_single_batch if cfg.single_batch else match_two_batch
         return functools.partial(

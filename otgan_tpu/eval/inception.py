@@ -34,7 +34,12 @@ import numpy as np
 from otgan_tpu.eval import inception_net
 
 DEFAULT_WEIGHTS = "/tmp/imagenet/inception_v3_jax.npz"
-_BATCH = 100  # reference batch size (utils/inception.py:34)
+# classifier batch. Default 100 = the reference protocol
+# (utils/inception.py:34). Per-image probabilities are batch-invariant, so
+# OTGAN_INCEPTION_BATCH can raise this to amortize per-batch dispatch +
+# host->device transfer over the 50 000x2 samples of a full eval
+# (e.g. 1000 on a tunneled chip) without changing the score.
+_BATCH = int(os.environ.get("OTGAN_INCEPTION_BATCH", "100"))
 
 _params_cache = None
 _variant_cache = "torchvision"
