@@ -154,6 +154,61 @@ def predict_probs(images: np.ndarray, params=None, variant=None) -> np.ndarray:
     return np.concatenate(out)
 
 
+@functools.partial(jax.jit, static_argnames=("variant",))
+def _preds_pm1(params, x_pm1, variant: str = "torchvision"):
+    """Like ``_preds`` but for generator output in [-1, 1] (one fused
+    program: rescale + preprocess + classify, no host round trip)."""
+    x255 = 127.5 * (x_pm1.astype(jnp.float32) + 1.0)  # train.py:260-261
+    x = preprocess(x255, variant)
+    logits = inception_net.apply(params, x, variant=variant)
+    return jax.nn.softmax(logits, axis=-1)
+
+
+def predict_probs_from_sampler(
+    sample_fn, num_samples: int, params=None, variant=None
+) -> np.ndarray:
+    """Classify generated samples WITHOUT staging them on the host.
+
+    The reference (and ``predict_probs``) pulls all eval samples to host
+    and feeds them back batch-by-batch (``train.py:250-262``) — 2 x 614 MB
+    of transfers per 50 000-sample eval. Here ``sample_fn(seed) ->
+    (B, H, W, 3)`` device array in [-1, 1] (e.g. ``engine.sample``); each
+    batch is sliced and classified ON DEVICE and only the (B, classes)
+    probabilities come back.
+    """
+    params = params if params is not None else load_params()
+    variant = variant if variant is not None else _variant_cache
+    probs = []
+    got, seed = 0, 0
+    while got < num_samples:
+        x = sample_fn(seed)
+        seed += 1
+        b = int(x.shape[0])
+        for i in range(0, b, _BATCH):
+            chunk = x[i : i + _BATCH]
+            pad = 0
+            if chunk.shape[0] < _BATCH:
+                pad = _BATCH - chunk.shape[0]
+                chunk = jnp.concatenate(
+                    [chunk, jnp.zeros((pad,) + chunk.shape[1:], chunk.dtype)]
+                )
+            p = np.asarray(_preds_pm1(params, chunk, variant))
+            probs.append(p[: _BATCH - pad])
+        got += b
+    return np.concatenate(probs)[:num_samples]
+
+
+def inception_score_from_sampler(
+    sample_fn, num_samples: int, splits: int = 10, params=None, variant=None
+):
+    """Device-streaming Inception score: reference protocol + split-KL
+    math, with generation and classification fused on-device."""
+    preds = predict_probs_from_sampler(
+        sample_fn, num_samples, params=params, variant=variant
+    )
+    return inception_score_from_preds(preds, splits=splits)
+
+
 def inception_score_from_preds(
     preds: np.ndarray, splits: int = 10
 ) -> Tuple[float, float]:

@@ -253,40 +253,37 @@ def train(cfg: TrainConfig) -> TrainState:
 
 def _maybe_inception_eval(cfg, engine, state, logger, step_counter):
     try:
-        from otgan_tpu.eval.inception import get_inception_score, load_params
+        from otgan_tpu.eval.inception import (
+            inception_score_from_sampler,
+            load_params,
+        )
     except Exception as e:  # pragma: no cover
         print(f"inception eval unavailable: {e}")
         return
     try:
         # probe weights BEFORE generating inception_samples images — the
-        # 50 000-sample generation + host transfer is pointless without them
+        # 50 000-sample generation is pointless without them
         load_params()
     except FileNotFoundError as e:
         print(f"inception weights unavailable, skipping eval: {e}")
         return
     for ema in (False, True):
-        samples = []
-        need = cfg.inception_samples
-        bs = cfg.batch_size
-        seed = 0
-        while sum(s.shape[0] for s in samples) < need:
-            x = np.asarray(
-                engine.sample(state, jax.random.PRNGKey(10_000 + seed), bs, ema)
+        # generation + classification run fused on-device; only the class
+        # probabilities come to the host (the reference round-trips all
+        # 50 000 images through the session, train.py:250-262)
+        def sampler(seed, _ema=ema):
+            return engine.sample(
+                state, jax.random.PRNGKey(10_000 + seed), cfg.batch_size, _ema
             )
-            samples.append(x)
-            seed += 1
-        samples = np.concatenate(samples)[:need]
-        samples = 127.5 * (samples + 1.0)  # [0, 255] (train.py:260-261)
-        try:
-            mean, std = get_inception_score(samples, splits=cfg.inception_splits)
-            tag = "ema_" if ema else ""
-            logger.log(
-                step_counter,
-                **{f"{tag}inception_score": mean, f"{tag}inception_std": std},
-            )
-        except FileNotFoundError as e:
-            print(f"inception weights unavailable, skipping eval: {e}")
-            return
+
+        mean, std = inception_score_from_sampler(
+            sampler, cfg.inception_samples, splits=cfg.inception_splits
+        )
+        tag = "ema_" if ema else ""
+        logger.log(
+            step_counter,
+            **{f"{tag}inception_score": mean, f"{tag}inception_std": std},
+        )
 
 
 def main(argv: Optional[list] = None):

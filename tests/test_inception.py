@@ -189,3 +189,31 @@ def test_fid_end_to_end_random_weights(monkeypatch):
     v_diff = fid_mod.get_fid(a, b, params=params)
     assert abs(v_same) < 1e-4
     assert np.isfinite(v_diff) and v_diff >= 0.0
+
+
+def test_streaming_sampler_score_matches_host_path(monkeypatch):
+    """Device-streaming eval (sampler -> on-device classify) must produce
+    the same score as the host-staged reference path on identical samples,
+    including the [-1,1] -> [0,255] rescale and padding of ragged tails."""
+    monkeypatch.setattr(inc, "_BATCH", 4)
+    rng = np.random.default_rng(7)
+    params = inception_net.init_params(rng, num_classes=12)
+    # 3 sampler batches of 5 -> 15 generated, score over num_samples=13
+    batches = [
+        jnp.asarray(rng.uniform(-1, 1, (5, 16, 16, 3)), jnp.float32)
+        for _ in range(3)
+    ]
+
+    def sampler(seed):
+        return batches[seed]
+
+    mean_s, std_s = inc.inception_score_from_sampler(
+        sampler, 13, splits=3, params=params
+    )
+
+    stacked = 127.5 * (np.concatenate([np.asarray(b) for b in batches]) + 1.0)
+    mean_h, std_h = inc.get_inception_score(
+        stacked[:13], splits=3, params=params
+    )
+    np.testing.assert_allclose(mean_s, mean_h, rtol=1e-5)
+    np.testing.assert_allclose(std_s, std_h, rtol=1e-4, atol=1e-7)
