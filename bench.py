@@ -52,8 +52,12 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def _time_cycles(eng, cfg, batch, cycles, profile_dir=""):
-    """Build engine state and time fused 5:1 G:D cycles at ``batch``.
+def _time_cycles(eng, cfg, batch, cycles, profile_dir="", fused=True):
+    """Build engine state and time 5:1 G:D cycles at ``batch``. ``fused``
+    runs the cycle as ONE lax.scan program (fewer dispatches); unfused
+    times individual donated steps — required above ~batch 5120, where the
+    fused program's 6-batch input stack + per-step feature tensors exceed
+    HBM (8192 needs 20.3 G of 15.75 G fused; unfused fits).
     Returns median seconds per cycle."""
     import jax
     import jax.numpy as jnp
@@ -67,34 +71,45 @@ def _time_cycles(eng, cfg, batch, cycles, profile_dir=""):
     log(f"[b{batch}] init ({nf} features): {time.time() - t0:.1f}s")
 
     per_cycle = cfg.nr_gen_per_disc + 1
-    # pre-place the input stack once: H2D is pipelined/overlapped in real
+    # pre-place the inputs once: H2D is pipelined/overlapped in real
     # training (background prefetch); measuring it synchronously here would
     # only measure this environment's tunnel bandwidth
-    xs = eng.shard_steps(jnp.broadcast_to(x, (per_cycle,) + x.shape))
+    if fused:
+        xs = eng.shard_steps(jnp.broadcast_to(x, (per_cycle,) + x.shape))
+
+        def run_cycle(state):
+            state, mets = eng.cycle_step(state, xs)
+            _ = float(mets.dist[-1])  # host readback: forces the cycle
+            return state
+    else:
+        xd = eng.shard(x)
+
+        def run_cycle(state):
+            state, met = eng.disc_step(state, xd)
+            for _ in range(cfg.nr_gen_per_disc):
+                state, met = eng.gen_step(state, xd)
+            _ = float(met.dist)
+            return state
+
     t0 = time.time()
-    state, mets = eng.cycle_step(state, xs)
-    _ = float(mets.dist[-1])
-    log(f"[b{batch}] cycle compile+run: {time.time() - t0:.1f}s")
+    state = run_cycle(state)
+    log(f"[b{batch}] cycle compile+run: {time.time() - t0:.1f}s (fused={fused})")
 
     times = []
     for c in range(cycles):
         t0 = time.time()
-        state, mets = eng.cycle_step(state, xs)
-        _ = float(mets.dist[-1])  # host readback: forces the whole cycle
+        state = run_cycle(state)
         times.append(time.time() - t0)
         log(f"[b{batch}] cycle {c}: {times[-1]*1000:.1f} ms for {per_cycle} steps")
 
     if profile_dir:
-        import jax
-
         with jax.profiler.trace(profile_dir):
-            state, mets = eng.cycle_step(state, xs)
-            _ = float(mets.dist[-1])
+            state = run_cycle(state)
         log(f"[b{batch}] profiler trace written to {profile_dir}")
     return float(np.median(times)), per_cycle
 
 
-def _bench_throughput(batch, cycles, remat, profile_dir=""):
+def _bench_throughput(batch, cycles, remat, profile_dir="", fused=True):
     import jax
 
     from otgan_tpu.config import TrainConfig
@@ -102,7 +117,9 @@ def _bench_throughput(batch, cycles, remat, profile_dir=""):
 
     cfg = TrainConfig(model="dcgan", batch_size=batch, remat=remat)
     eng = Engine(cfg)
-    sec_per_cycle, per_cycle = _time_cycles(eng, cfg, batch, cycles, profile_dir)
+    sec_per_cycle, per_cycle = _time_cycles(
+        eng, cfg, batch, cycles, profile_dir, fused=fused
+    )
     n_chips = len(eng.mesh.devices.flat)
     return per_cycle * batch / sec_per_cycle / n_chips
 
@@ -169,7 +186,10 @@ def main():
             log(f"kernel parity check failed: {e!r}")
             extra["parity_error"] = str(e)
 
-    img_per_sec = _bench_throughput(batch, cycles, remat=remat, profile_dir=profile_dir)
+    fused = os.environ.get("BENCH_FUSED", "1" if batch <= 5120 else "0") == "1"
+    img_per_sec = _bench_throughput(
+        batch, cycles, remat=remat, profile_dir=profile_dir, fused=fused
+    )
 
     result = {
         "metric": f"cifar10_otgan_full_med_step_throughput_b{batch}",

@@ -71,7 +71,10 @@ class TrainConfig:
     synthetic_data: bool = False
     synthetic_size: int = 5120
     # run whole G:D cycles (nr_gen_per_disc+1 steps) as ONE jitted program
-    # (lax.scan) — fewer host round trips per step
+    # (lax.scan) — fewer host round trips per step. Disable above ~global
+    # batch 5120 on 16 GB chips: the fused program keeps the whole cycle's
+    # input stack resident and OOMs HBM at batch 8192 (measured; individual
+    # steps fit)
     fused_cycle: bool = True
     # checkpoint retention (tf.train.Saver semantics: max_to_keep +
     # keep_checkpoint_every_n_hours, train_with_model_saving.py:59);

@@ -140,12 +140,19 @@ def sinkhorn_assignment_pallas(cost: jax.Array, lam: float, n_iters: int):
     6 x 768^2."""
     n, m = cost.shape[-2:]
     from otgan_tpu.ops.sinkhorn_pallas_tiled import (
+        padded_shape,
+        sinkhorn_assignment_padded,
         sinkhorn_assignment_tiled,
         tiled_supported,
     )
 
     if tiled_supported(n, m):
         return sinkhorn_assignment_tiled(cost, lam, n_iters)
+    # tile-misaligned (e.g. the reference's own N=2500/4000): block-pad to
+    # the kernel grid when the matrix is large enough for the kernel to
+    # matter (below ~512^2 every path sits on the dispatch floor)
+    if n * m >= 512 * 512 and padded_shape(n, m) is not None:
+        return sinkhorn_assignment_padded(cost, lam, n_iters)
     from otgan_tpu.ops.sinkhorn import assignment_and_entropy, sinkhorn_log
 
     log_a, _, _ = sinkhorn_log(-lam * cost.astype(jnp.float32), n_iters)

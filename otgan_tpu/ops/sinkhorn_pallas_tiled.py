@@ -180,3 +180,82 @@ def sinkhorn_assignment_tiled(cost: jax.Array, lam: float, n_iters: int):
 
     p, ent = jax.lax.map(one, flat)
     return p.reshape(cost.shape), ent.reshape(batch_shape)
+
+
+# ---------------------------------------------------------------------------
+# padded dispatch for tile-misaligned shapes
+# ---------------------------------------------------------------------------
+
+# pad-block cost: exp(-lam * (_PAD_COST - O(1))) underflows to exactly 0.0
+# in float32 for every lambda the reference uses (>= 50), so no transport
+# mass crosses between the real block and the pad block — the real block's
+# assignment is EXACTLY the unpadded one (tested). Same magnitude as the
+# reference's own +999 self-match penalty (utils/matching.py:109-110).
+_PAD_COST = 999.0
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def padded_shape(n: int, m: int):
+    """Smallest kernel-supported (n2, m2) > (n, m) with BOTH dims padded,
+    or None. Padding must be two-sided: a pad row with no pad columns (or
+    vice versa) has nowhere to send its unit of transport mass except the
+    real block, which distorts the real assignment — the ``[[C, M],[M, 0]]``
+    construction needs a non-empty pad block."""
+    m2 = _round_up(m, _LANE)
+    if m2 == m:
+        m2 = m + _LANE
+    n2 = _round_up(n, _SUBLANE)
+    if n2 == n:
+        n2 = n + _SUBLANE
+    if n2 * m2 <= _RESIDENT_CELLS:
+        return n2, m2
+    n2 = _round_up(n, _PANELS[-1])
+    if n2 == n:
+        n2 = n + _PANELS[-1]
+    if tiled_supported(n2, m2):
+        return n2, m2
+    return None
+
+
+@functools.partial(jax.jit, static_argnames=("lam", "n_iters"))
+def sinkhorn_assignment_padded(cost: jax.Array, lam: float, n_iters: int):
+    """Run the panel kernel on tile-MISALIGNED costs by block-padding.
+
+    The reference's own batch sizes (5000/8000 -> N = 2500/4000,
+    ``train.py:16,23``) are lane-misaligned; without this they fall back
+    to the ~5x slower XLA loop. Padding uses the standard OT construction
+    ``[[C, M], [M, 0]]``: pad rows/columns couple only with each other
+    (cross-block mass underflows to exactly 0.0 in f32 at every reference
+    lambda), so the real block's assignment and its row entropies are
+    unchanged.
+    """
+    cost = jax.lax.stop_gradient(cost)
+    n, m = cost.shape[-2:]
+    shape2 = padded_shape(n, m)
+    if shape2 is None:
+        from otgan_tpu.ops.sinkhorn import sinkhorn_assignment
+
+        return sinkhorn_assignment(cost, lam, n_iters)
+    n2, m2 = shape2
+
+    interpret = jax.default_backend() != "tpu"
+    batch_shape = cost.shape[:-2]
+    flat = cost.astype(jnp.float32).reshape((-1, n, m))
+
+    def one(c2d):
+        cp = jnp.full((n2, m2), _PAD_COST, jnp.float32)
+        cp = cp.at[:n, :m].set(c2d)
+        cp = cp.at[n:, m:].set(0.0)  # pad block absorbs its own mass
+        x = -lam * cp
+        v = _col_potential(x, n_iters, interpret=interpret)
+        log_a = (x + v)[:n, :m]  # real block; pad-col logits carry 0 mass
+        p = jax.nn.softmax(log_a, axis=-1)
+        logp = jax.nn.log_softmax(log_a, axis=-1)
+        ent = jnp.mean(-jnp.sum(p * logp, axis=-1))
+        return p, ent
+
+    p, ent = jax.lax.map(one, flat)
+    return p.reshape(batch_shape + (n, m)), ent.reshape(batch_shape)

@@ -84,3 +84,54 @@ def test_streaming_multi_panel_matches_xla(monkeypatch):
     np.testing.assert_allclose(float(e), float(e_ref), atol=1e-4)
     tk.sinkhorn_assignment_tiled.clear_cache()
     tk._col_potential.clear_cache()
+
+
+def test_padded_matches_xla_misaligned_shapes():
+    """Block-padding ([[C, M], [M, 0]]) must reproduce the unpadded
+    assignment exactly: cross-block mass underflows to 0 in f32. Covers
+    rows-only, cols-only, and both-misaligned shapes."""
+    from otgan_tpu.ops.sinkhorn_pallas_tiled import (
+        padded_shape,
+        sinkhorn_assignment_padded,
+    )
+
+    for n, m in [(100, 128), (128, 100), (100, 100), (250, 250)]:
+        assert padded_shape(n, m) is not None
+        cost = jnp.asarray(_cost(n + m, n, m))
+        p_ref, e_ref = sinkhorn_assignment(cost, 50.0, 40)
+        p, e = sinkhorn_assignment_padded(cost, 50.0, 40)
+        assert p.shape == (n, m)
+        np.testing.assert_allclose(
+            np.asarray(p), np.asarray(p_ref), atol=1e-5, err_msg=f"{n}x{m}"
+        )
+        np.testing.assert_allclose(float(e), float(e_ref), atol=1e-4)
+
+
+def test_padded_single_batch_diagonal_and_high_lambda():
+    """The hardest numeric case: +999 self-match diagonal (same magnitude
+    as the pad cost) at lam=500 — separation must still be exact."""
+    from otgan_tpu.ops.sinkhorn_pallas_tiled import sinkhorn_assignment_padded
+
+    n = 120
+    cost = jnp.asarray(_cost(9, n, n) + 999.0 * np.eye(n, dtype=np.float32))
+    p_ref, e_ref = sinkhorn_assignment(cost, 500.0, 60)
+    p, e = sinkhorn_assignment_padded(cost, 500.0, 60)
+    p = np.asarray(p)
+    assert np.all(np.isfinite(p))
+    assert float(np.max(np.diag(p))) < 1e-6
+    np.testing.assert_allclose(p, np.asarray(p_ref), atol=1e-5)
+    np.testing.assert_allclose(float(e), float(e_ref), atol=1e-4)
+
+
+def test_dispatcher_routes_misaligned_to_padded():
+    """Public dispatch: a large misaligned matrix (the reference's own
+    N=2500-style shape, scaled down) runs the padded kernel and matches
+    the XLA loop; batched stacks work."""
+    from otgan_tpu.ops.sinkhorn_pallas import sinkhorn_assignment_pallas
+
+    costs = jnp.stack([jnp.asarray(_cost(i, 600, 600)) for i in range(2)])
+    p_ref, e_ref = sinkhorn_assignment(costs, 50.0, 30)
+    p, e = sinkhorn_assignment_pallas(costs, 50.0, 30)
+    assert p.shape == (2, 600, 600)
+    np.testing.assert_allclose(np.asarray(p), np.asarray(p_ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(e), np.asarray(e_ref), atol=1e-4)
