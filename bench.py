@@ -4,10 +4,10 @@ at PAPER SCALE (the reference's own regime).
 Config matches the reference ``train.py`` defaults scaled to one chip:
 DCGAN generator + critic, two-batch matching, lam=500, 500 Sinkhorn
 iterations, the 5:1 G:D schedule fused into one executable
-(``train.py:16,23-26,213-226``). The default global batch is 5120 — the
-nearest lane-aligned batch to the reference's 5000 (625 x 8 GPUs), so the
-Sinkhorn runs six 2560 x 2560 matrices per step, the regime where the
-matching kernels actually matter. A small-batch (256) cycle is also timed
+(``train.py:16,23-26,213-226``). The default global batch is the
+reference's EXACT 5000 (625 x 8 GPUs): the Sinkhorn runs six 2500 x 2500
+matrices per step — tile-misaligned, exercising the block-padded kernel
+dispatch — the regime where the matching kernels actually matter. A small-batch (256) cycle is also timed
 and reported as a secondary key, and the Pallas kernels are cross-checked
 against the XLA Sinkhorn on-hardware (max-abs assignment diff in the JSON).
 
@@ -164,7 +164,7 @@ def _kernel_parity():
 def main():
     import jax
 
-    batch = int(os.environ.get("BENCH_BATCH", "5120"))
+    batch = int(os.environ.get("BENCH_BATCH", "5000"))
     small = int(os.environ.get("BENCH_SMALL_BATCH", "256"))
     cycles = int(os.environ.get("BENCH_CYCLES", "3"))
     remat = os.environ.get("BENCH_REMAT", "1") == "1"
@@ -186,7 +186,7 @@ def main():
             log(f"kernel parity check failed: {e!r}")
             extra["parity_error"] = str(e)
 
-    fused = os.environ.get("BENCH_FUSED", "1" if batch <= 5120 else "0") == "1"
+    fused = os.environ.get("BENCH_FUSED", "1" if batch <= 5120 else "0") == "1"  # >5120 exceeds HBM fused
     img_per_sec = _bench_throughput(
         batch, cycles, remat=remat, profile_dir=profile_dir, fused=fused
     )
