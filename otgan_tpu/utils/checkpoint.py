@@ -111,6 +111,7 @@ def save_checkpoint(
 def restore_checkpoint(path: str, template: Pytree) -> Pytree:
     """Restore into a pytree shaped like ``template`` (dtypes/shapes checked);
     transparently decodes bfloat16-compressed slot leaves."""
+    wait_for_pending_saves()  # never read around an in-flight async write
     with np.load(path) as data:
         leaves = []
         for i in range(len(data.files)):

@@ -235,3 +235,29 @@ def test_fused_local_step_unit():
     m_x, s_x = _local_step_xla(x, v)
     np.testing.assert_allclose(np.asarray(m_k), np.asarray(m_x), atol=1e-6)
     np.testing.assert_allclose(np.asarray(s_k), np.asarray(s_x), rtol=1e-5)
+
+
+def test_sharded_single_batch_gradient_path():
+    """Gradient parity for the sharded single-batch matcher (the two-batch
+    version is covered above): jax.grad flows through raw features only."""
+    from otgan_tpu.ops.losses import med_generator_loss
+
+    B = 64
+    mesh = make_mesh(8)
+    fa = jnp.asarray(_features(14, B))
+    fb = jnp.asarray(_features(15, B))
+    matcher = make_sharded_single_batch_matcher(mesh, LAM, 20)
+
+    def loss_sharded(w):
+        f = fa * w
+        m = matcher(f, fb)
+        return med_generator_loss(f, m)
+
+    def loss_global(w):
+        f = fa * w
+        m = match_single_batch(f, fb, LAM, 20)
+        return med_generator_loss(f, m)
+
+    g_s = jax.grad(loss_sharded)(jnp.ones(()))
+    g_g = jax.grad(loss_global)(jnp.ones(()))
+    np.testing.assert_allclose(float(g_s), float(g_g), rtol=1e-4)
