@@ -33,6 +33,11 @@ Env knobs: BENCH_BATCH (default 5120; the headline), BENCH_SMALL_BATCH
 (default 256; secondary, 0 = skip), BENCH_CYCLES (default 3),
 BENCH_PARITY (default 1 on TPU: run the kernel parity cross-check),
 BENCH_REMAT (default 1: jax.checkpoint over model blocks at paper scale),
+BENCH_REMAT_POLICY (comma-separated save_point names to keep in HBM under
+remat; default "gen_g1,disc_c4,gen_g2,disc_c3" — the measured-best
+selective-remat set at batch 5120 on a 15.75 GB chip: 2363 -> 2628
+img/s/chip, +11.2% over full recompute; adding gen_g3 or disc_c2 exceeds
+HBM by ~0.5 GB. Set to "" to recompute everything / minimize memory),
 BENCH_PROFILE_DIR (non-empty: capture a jax.profiler trace of one cycle).
 """
 
@@ -115,7 +120,15 @@ def _bench_throughput(batch, cycles, remat, profile_dir="", fused=True):
     from otgan_tpu.config import TrainConfig
     from otgan_tpu.engine import Engine
 
-    cfg = TrainConfig(model="dcgan", batch_size=batch, remat=remat)
+    remat_policy = (
+        os.environ.get("BENCH_REMAT_POLICY", "gen_g1,disc_c4,gen_g2,disc_c3")
+        if remat
+        else ""
+    )
+    cfg = TrainConfig(
+        model="dcgan", batch_size=batch, remat=remat,
+        remat_policy=remat_policy,
+    )
     eng = Engine(cfg)
     sec_per_cycle, per_cycle = _time_cycles(
         eng, cfg, batch, cycles, profile_dir, fused=fused

@@ -64,6 +64,13 @@ class TrainConfig:
     # False = let GSPMD partition the global matcher automatically.
     sharded_matching: bool = True
     remat: bool = False  # jax.checkpoint over model blocks
+    # selective remat: comma-separated save_point names kept in HBM instead
+    # of recomputed in the backward pass (e.g. "gen_g1,disc_c4,gen_g2" for
+    # dcgan; "gen_u1,gen_u2,disc_d2,disc_d3" for densenet). Only meaningful
+    # with --remat; "" = recompute everything (lowest memory). Each saved
+    # tensor skips exactly its producing op's recompute — docs/DESIGN.md
+    # section 7 ranks the candidates by FLOPs recovered per byte.
+    remat_policy: str = ""
     profile_dir: str = ""  # non-empty: write jax.profiler traces here
     log_every_steps: int = 0  # 0 = log per epoch only (reference behavior)
     # CIFAR-shaped random data instead of downloading (zero-egress smoke
@@ -97,6 +104,12 @@ class TrainConfig:
     # write checkpoints on a background thread (device->host copy stays
     # synchronous; only compression + disk I/O are deferred)
     async_checkpoint: bool = True
+    # "npz" (default): single host-side .npz, exact and dependency-free.
+    # "orbax": per-process sharded writes + async commit via
+    # orbax.checkpoint.CheckpointManager — the multi-host/pod path; the
+    # reference Saver's retention knobs map onto orbax natively. Restore
+    # and the sampling/eval CLIs accept checkpoints from either backend.
+    checkpoint_backend: str = "npz"
     # freeze the critic after this many global steps (0 = never, the
     # reference train.py behavior). Toy notebook 2 trains with D+G updates
     # every iteration and freezes D after iteration 15000
@@ -139,6 +152,7 @@ class TrainConfig:
             "nonlinearity": nonlin,
             "remat": self.remat,
             "compute_dtype": self.compute_dtype,
+            "remat_policy": self.remat_policy,
         }
         if self.model == "densenet":
             return {

@@ -28,24 +28,38 @@ from otgan_tpu.nn.layers import (
     dense,
     glu,
     l2_normalize_rows,
+    save_point,
 )
 
 LATENT_DIM = 100
 
 
 def disc_spec(scope: Scope, x: jax.Array, nonlinearity: str = "crelu"):
+    # save_point tags: selective-remat boundaries (inert without a
+    # remat_policy). Per-byte recompute value rises with depth: conv4's
+    # 4x4x1024 output costs ~0.84 GFLOP/img to rebuild per 168 MB saved
+    # at batch 5120 (docs/DESIGN.md section 7).
     x = conv2d(scope, x, 128, filter_size=(5, 5), pre_activation=None)
-    x = conv2d(
-        scope, x, 256, filter_size=(5, 5), pre_activation=nonlinearity,
-        stride=(2, 2),
+    x = save_point(
+        conv2d(
+            scope, x, 256, filter_size=(5, 5), pre_activation=nonlinearity,
+            stride=(2, 2),
+        ),
+        "disc_c2",
     )
-    x = conv2d(
-        scope, x, 512, filter_size=(5, 5), pre_activation=nonlinearity,
-        stride=(2, 2),
+    x = save_point(
+        conv2d(
+            scope, x, 512, filter_size=(5, 5), pre_activation=nonlinearity,
+            stride=(2, 2),
+        ),
+        "disc_c3",
     )
-    x = conv2d(
-        scope, x, 1024, filter_size=(5, 5), pre_activation=nonlinearity,
-        stride=(2, 2),
+    x = save_point(
+        conv2d(
+            scope, x, 1024, filter_size=(5, 5), pre_activation=nonlinearity,
+            stride=(2, 2),
+        ),
+        "disc_c4",
     )
     # final CReLU concat + flatten + L2 normalize (models/dcgan.py:16-19)
     x = jnp.concatenate([jax.nn.relu(x), jax.nn.relu(-x)], axis=-1)
@@ -69,34 +83,52 @@ def gen_spec(
         scope, x, 2 * 512, filter_size=(5, 5), pre_activation=None,
         upsample=True,
     )
-    x = glu(x, axis=-1)
+    # post-GLU save points: half the bytes of the conv output, and the GLU
+    # itself is fused/free to recompute. gen_g1 is the best save in the
+    # whole model: ~3.4 GFLOP/img of conv recompute per 336 MB (bf16,
+    # batch 5120) — see docs/DESIGN.md section 7.
+    x = save_point(glu(x, axis=-1), "gen_g1")
     x = conv2d(
         scope, x, 2 * 256, filter_size=(5, 5), pre_activation=None,
         upsample=True,
     )
-    x = glu(x, axis=-1)
+    x = save_point(glu(x, axis=-1), "gen_g2")
     x = conv2d(
         scope, x, 2 * 128, filter_size=(5, 5), pre_activation=None,
         upsample=True,
     )
-    x = glu(x, axis=-1)
+    x = save_point(glu(x, axis=-1), "gen_g3")
     x = conv2d(
         scope, x, 3, filter_size=(5, 5), pre_activation=None, init_scale=0.1
     )
     return jnp.tanh(x)
 
 
-def make_discriminator(nonlinearity: str = "crelu", remat: bool = False, compute_dtype="float32"):
+def make_discriminator(
+    nonlinearity: str = "crelu",
+    remat: bool = False,
+    compute_dtype="float32",
+    remat_policy: str = "",
+):
     return Module(
-        lambda scope, x: disc_spec(scope, x, nonlinearity), remat=remat, compute_dtype=compute_dtype
+        lambda scope, x: disc_spec(scope, x, nonlinearity),
+        remat=remat,
+        compute_dtype=compute_dtype,
+        remat_policy=remat_policy,
     )
 
 
-def make_generator(nonlinearity: str = "crelu", remat: bool = False, compute_dtype="float32"):
+def make_generator(
+    nonlinearity: str = "crelu",
+    remat: bool = False,
+    compute_dtype="float32",
+    remat_policy: str = "",
+):
     return Module(
         lambda scope, rng, batch_size: gen_spec(
             scope, rng, batch_size, nonlinearity
         ),
         remat=remat,
         compute_dtype=compute_dtype,
+        remat_policy=remat_policy,
     )

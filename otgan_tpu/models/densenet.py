@@ -30,6 +30,7 @@ from otgan_tpu.nn.layers import (
     dense,
     l2_normalize_rows,
     nn_upsample,
+    save_point,
 )
 
 LATENT_DIM = 100
@@ -65,11 +66,14 @@ def disc_spec(
 ):
     x = conv2d(scope, x, 2 * filters_per_layer, pre_activation=None)
     x = _block(scope, x, layers_per_block, filters_per_layer, nonlinearity)
-    x = _downsample(scope, x, nonlinearity)
+    # selective-remat boundaries at the downsamples: saving one halves the
+    # activations that the backward pass must rebuild for the preceding
+    # dense block's list connectivity (inert without a remat_policy)
+    x = save_point(_downsample(scope, x, nonlinearity), "disc_d1")
     x = _block(scope, x, layers_per_block, filters_per_layer, nonlinearity)
-    x = _downsample(scope, x, nonlinearity)
+    x = save_point(_downsample(scope, x, nonlinearity), "disc_d2")
     x = _block(scope, x, layers_per_block, filters_per_layer, nonlinearity)
-    x = _downsample(scope, x, nonlinearity)
+    x = save_point(_downsample(scope, x, nonlinearity), "disc_d3")
 
     x = jnp.concatenate([jax.nn.relu(x), jax.nn.relu(-x)], axis=-1)
     x = x.reshape(x.shape[0], -1)
@@ -106,10 +110,10 @@ def gen_spec(
         x.reshape(batch_size, 8, 8, filters_per_layer), u1
     ]
     x = _block(scope, x, layers_per_block, filters_per_layer, nonlinearity)
-    x = _gen_upsample(scope, x, nonlinearity)
+    x = save_point(_gen_upsample(scope, x, nonlinearity), "gen_u1")
     x = [x, u2]
     x = _block(scope, x, layers_per_block, filters_per_layer, nonlinearity)
-    x = _gen_upsample(scope, x, nonlinearity)
+    x = save_point(_gen_upsample(scope, x, nonlinearity), "gen_u2")
     x = [x, u3]
     x = _block(scope, x, layers_per_block, filters_per_layer, nonlinearity)
 
@@ -125,6 +129,7 @@ def make_discriminator(
     nonlinearity: str = "crelu",
     remat: bool = False,
     compute_dtype="float32",
+    remat_policy: str = "",
 ):
     return Module(
         lambda scope, x: disc_spec(
@@ -132,6 +137,7 @@ def make_discriminator(
         ),
         remat=remat,
         compute_dtype=compute_dtype,
+        remat_policy=remat_policy,
     )
 
 
@@ -141,6 +147,7 @@ def make_generator(
     nonlinearity: str = "crelu",
     remat: bool = False,
     compute_dtype="float32",
+    remat_policy: str = "",
 ):
     return Module(
         lambda scope, rng, batch_size: gen_spec(
@@ -149,4 +156,5 @@ def make_generator(
         ),
         remat=remat,
         compute_dtype=compute_dtype,
+        remat_policy=remat_policy,
     )

@@ -38,17 +38,31 @@ def gen_spec(
     return h
 
 
-def make_discriminator(nonlinearity: str = "relu", remat: bool = False, compute_dtype="float32"):
+def make_discriminator(
+    nonlinearity: str = "relu",
+    remat: bool = False,
+    compute_dtype="float32",
+    remat_policy: str = "",  # accepted for API uniformity; no tagged points
+):
     return Module(
-        lambda scope, x: disc_spec(scope, x, nonlinearity), remat=remat, compute_dtype=compute_dtype
+        lambda scope, x: disc_spec(scope, x, nonlinearity),
+        remat=remat,
+        compute_dtype=compute_dtype,
+        remat_policy=remat_policy,
     )
 
 
-def make_generator(nonlinearity: str = "relu", remat: bool = False, compute_dtype="float32"):
+def make_generator(
+    nonlinearity: str = "relu",
+    remat: bool = False,
+    compute_dtype="float32",
+    remat_policy: str = "",
+):
     return Module(
         lambda scope, rng, batch_size: gen_spec(
             scope, rng, batch_size, nonlinearity
         ),
         remat=remat,
         compute_dtype=compute_dtype,
+        remat_policy=remat_policy,
     )

@@ -45,6 +45,7 @@ from typing import Any, Callable, Dict, List, Optional, Sequence, Union
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.ad_checkpoint import checkpoint_name
 
 Array = jax.Array
 ArrayOrList = Union[Array, List[Array]]
@@ -350,9 +351,11 @@ class Module:
     """
 
     def __init__(self, spec: Callable, remat: bool = False,
-                 compute_dtype: Any = jnp.float32):
+                 compute_dtype: Any = jnp.float32,
+                 remat_policy: str = ""):
         self._spec = spec
         self._remat = remat
+        self._remat_policy = remat_policy
         self._compute_dtype = jnp.dtype(compute_dtype)
 
     def init(self, rng: Array, *args, data_dependent: bool = True, **kwargs):
@@ -380,11 +383,44 @@ class Module:
                 for i, a in enumerate(args)
                 if not isinstance(a, (jax.Array, np.ndarray))
             )
-            return jax.checkpoint(run, static_argnums=static)(params, *args)
+            kw = {}
+            names = [
+                n.strip() for n in self._remat_policy.split(",") if n.strip()
+            ]
+            if names:
+                # selective remat: intermediates tagged with save_point(x, n)
+                # for n in `names` are kept in HBM and NOT recomputed in the
+                # backward pass. Each saved tensor skips exactly its
+                # producing op's recompute FLOPs — pick small, expensive
+                # activations (docs/DESIGN.md section 7). Unknown names are
+                # inert, so one policy string can cover both G and D.
+                kw["policy"] = jax.checkpoint_policies.save_only_these_names(
+                    *names
+                )
+            return jax.checkpoint(run, static_argnums=static, **kw)(
+                params, *args
+            )
         return run(params, *args)
 
 
 def make_module(
-    spec: Callable, remat: bool = False, compute_dtype: Any = jnp.float32
+    spec: Callable,
+    remat: bool = False,
+    compute_dtype: Any = jnp.float32,
+    remat_policy: str = "",
 ) -> Module:
-    return Module(spec, remat=remat, compute_dtype=compute_dtype)
+    return Module(
+        spec, remat=remat, compute_dtype=compute_dtype,
+        remat_policy=remat_policy,
+    )
+
+
+def save_point(x: Array, name: str) -> Array:
+    """Tag ``x`` as a named rematerialization save point.
+
+    Identity unless the enclosing :class:`Module` runs with ``remat=True``
+    and a ``remat_policy`` that lists ``name`` — then ``x`` is stored during
+    the forward pass and the backward pass does not recompute it. This is
+    the selective counterpart of the reference's (disabled) whole-function
+    recompute scaffold (``utils/nn.py:186-309``)."""
+    return checkpoint_name(x, name)

@@ -108,6 +108,42 @@ def test_remat_matches_plain():
     np.testing.assert_allclose(a, b, atol=1e-6)
 
 
+def test_remat_policy_matches_plain():
+    """Selective remat (save_point + save_only_these_names) is a pure
+    scheduling decision: forward values AND gradients must match the
+    no-remat module exactly."""
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.uniform(-1, 1, (2, 32, 32, 3)), jnp.float32)
+    plain = dcgan.make_discriminator()
+    sel = dcgan.make_discriminator(
+        remat=True, remat_policy="disc_c3,disc_c4,unknown_name_is_inert"
+    )
+    params, _ = plain.init(jax.random.PRNGKey(13), x, data_dependent=False)
+    np.testing.assert_allclose(
+        np.asarray(sel.apply(params, x)),
+        np.asarray(plain.apply(params, x)),
+        atol=1e-6,
+    )
+
+    def loss(mod):
+        return lambda p: jnp.sum(mod.apply(p, x) ** 2)
+
+    g_plain = jax.grad(loss(plain))(params)
+    g_sel = jax.grad(loss(sel))(params)
+    for a, b in zip(jax.tree.leaves(g_plain), jax.tree.leaves(g_sel)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    # generator side: tagged GLU save points under jit + static batch arg
+    gp = dcgan.make_generator()
+    gs = dcgan.make_generator(remat=True, remat_policy="gen_g1,gen_g2")
+    key = jax.random.PRNGKey(14)
+    gparams, _ = gp.init(key, key, 2, data_dependent=False)
+    gl_plain = jax.grad(lambda p: jnp.sum(gp.apply(p, key, 2) ** 2))(gparams)
+    gl_sel = jax.grad(lambda p: jnp.sum(gs.apply(p, key, 2) ** 2))(gparams)
+    for a, b in zip(jax.tree.leaves(gl_plain), jax.tree.leaves(gl_sel)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
 def test_bf16_compute_close_to_f32():
     """bfloat16 compute (f32 accumulation) stays close to f32 on the
     L2-normalized critic features; matching math remains f32 regardless."""
