@@ -81,17 +81,34 @@ def _sharded_sinkhorn_rows(
     """
     x_loc = jax.lax.stop_gradient(x_loc)
 
+    b, n_loc, n = x_loc.shape
+    x_run = x_loc  # what the iteration actually runs on (maybe padded)
+    col_ok = None  # (1, N_pad) validity mask when column-padded
     if use_pallas:
         from otgan_tpu.ops.sinkhorn_pallas_step import (
             fused_local_sinkhorn_step,
             local_step_supported,
+            pad_to_grid,
         )
 
-        b, n_loc, n = x_loc.shape
         if local_step_supported(n_loc, n):
             interpret = jax.default_backend() != "tpu"
+            n_loc_pad, n_pad = pad_to_grid(n_loc, n)
+            if (n_loc_pad, n_pad) != (n_loc, n):
+                # block-pad onto the kernel's (8, 128) f32 tile grid; the
+                # kernel masks padded rows/columns in-VMEM and the combined
+                # column potential is re-masked below (its padded entries
+                # come back non-finite: s_glob sums to 0 there)
+                x_run = jnp.pad(
+                    x_loc,
+                    ((0, 0), (0, n_loc_pad - n_loc), (0, n_pad - n)),
+                )
+                col_ok = (jnp.arange(n_pad) < n)[None, :]
             local_step = functools.partial(
-                fused_local_sinkhorn_step, interpret=interpret
+                fused_local_sinkhorn_step,
+                interpret=interpret,
+                n_rows=n_loc,
+                n_cols=n,
             )
         else:
             local_step = _local_step_xla
@@ -99,15 +116,20 @@ def _sharded_sinkhorn_rows(
         local_step = _local_step_xla
 
     def step(v):
-        m_loc, s_loc = local_step(x_loc, v)
+        m_loc, s_loc = local_step(x_run, v)
         # cross-chip logsumexp: global max, then rescale the local sums
         m_glob = jax.lax.pmax(m_loc, axis_name)
         s_glob = jax.lax.psum(s_loc * jnp.exp(m_loc - m_glob), axis_name)
-        return -(m_glob + jnp.log(s_glob))
+        v_new = -(m_glob + jnp.log(s_glob))
+        if col_ok is not None:
+            # pin padded columns to 0 so the tol check and the next row
+            # logsumexp never see the non-finite combined values there
+            v_new = jnp.where(col_ok, v_new, 0.0)
+        return v_new
 
     # v comes out of pmax/psum collectives (axis-INVARIANT) so its init must
     # be plain (invariant) zeros under shard_map's varying-axis typing.
-    v0 = jnp.zeros(x_loc.shape[:-2] + (1, x_loc.shape[-1]), jnp.float32)
+    v0 = jnp.zeros(x_run.shape[:-2] + (1, x_run.shape[-1]), jnp.float32)
 
     if tol > 0.0:
         # early exit on the sup-norm movement of the (replicated) column
@@ -127,7 +149,7 @@ def _sharded_sinkhorn_rows(
         )
     else:
         v = jax.lax.fori_loop(0, n_iters, lambda _, v: step(v), v0)
-    return x_loc + v
+    return x_loc + v[..., :n]
 
 
 def _row_softmax_entropy(log_a: jax.Array, axis_name: str):

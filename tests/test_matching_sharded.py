@@ -222,6 +222,66 @@ def test_sharded_pallas_local_step_matches_xla():
         )
 
 
+def test_sharded_pallas_misaligned_pads_onto_grid():
+    """Tile-misaligned local blocks must now run through the PAD-AWARE
+    fused kernel (not silently fall back to XLA) and still match the XLA
+    lowering exactly. B=176 on 8 devices: two-batch rows n_loc=11 (not a
+    multiple of 8) and width N=88 (not a multiple of 128); single-batch
+    n_loc=22 / N=176 — both misaligned on both axes."""
+    B = 176
+    mesh = make_mesh(8)
+    fa, fb = _features(16, B), _features(17, B)
+    fa_s = shard_batch(mesh, jnp.asarray(fa))
+    fb_s = shard_batch(mesh, jnp.asarray(fb))
+    for make in (
+        make_sharded_two_batch_matcher,
+        make_sharded_single_batch_matcher,
+    ):
+        ref = make(mesh, LAM, ITERS)(fa_s, fb_s)
+        got = make(mesh, LAM, ITERS, use_pallas=True)(fa_s, fb_s)
+        for g, w in zip(got[:4], ref[:4]):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(w), atol=1e-5)
+        np.testing.assert_allclose(
+            float(got.entropy), float(ref.entropy), atol=1e-5
+        )
+    # the early-exit while_loop must not see the padded columns' pinned
+    # values as movement (nor NaNs from the masked combine)
+    tol = make_sharded_two_batch_matcher(
+        mesh, LAM, 500, tol=1e-4, use_pallas=True
+    )(fa_s, fb_s)
+    exact = make_sharded_two_batch_matcher(mesh, LAM, 500)(fa_s, fb_s)
+    for g, w in zip(tol[:4], exact[:4]):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), atol=1e-4)
+
+
+def test_fused_local_step_pad_mask_unit():
+    """Unit parity of the in-kernel masking: a zero-padded block with
+    n_rows/n_cols set must reproduce the XLA step on the unpadded block
+    (valid columns), and emit empty partials (m=-1e30, s=0) on padding."""
+    from otgan_tpu.ops.sinkhorn_pallas_step import (
+        fused_local_sinkhorn_step,
+        pad_to_grid,
+    )
+    from otgan_tpu.parallel.matching_sharded import _local_step_xla
+
+    rng = np.random.default_rng(5)
+    n_loc, n = 11, 88
+    x = jnp.asarray(rng.uniform(-50, 0, (2, n_loc, n)).astype(np.float32))
+    v = jnp.asarray(rng.uniform(-5, 5, (2, 1, n)).astype(np.float32))
+    n_loc_pad, n_pad = pad_to_grid(n_loc, n)
+    assert (n_loc_pad, n_pad) == (16, 128)
+    x_pad = jnp.pad(x, ((0, 0), (0, n_loc_pad - n_loc), (0, n_pad - n)))
+    v_pad = jnp.pad(v, ((0, 0), (0, 0), (0, n_pad - n)))
+    m_k, s_k = fused_local_sinkhorn_step(
+        x_pad, v_pad, interpret=True, n_rows=n_loc, n_cols=n
+    )
+    m_x, s_x = _local_step_xla(x, v)
+    np.testing.assert_allclose(np.asarray(m_k[..., :n]), np.asarray(m_x), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(s_k[..., :n]), np.asarray(s_x), rtol=1e-5)
+    assert float(jnp.max(m_k[..., n:])) <= -1e29
+    np.testing.assert_allclose(np.asarray(s_k[..., n:]), 0.0, atol=0)
+
+
 def test_fused_local_step_unit():
     """Unit parity: fused_local_sinkhorn_step (interpret) vs the plain XLA
     local step on random logits."""
