@@ -222,19 +222,32 @@ def train(cfg: TrainConfig) -> TrainState:
 
         # periodic checkpoint + loss history (train.py:275-281)
         if (epoch + 1) % cfg.save_every_epochs == 0 and epoch != start_epoch:
-            path = save_checkpoint(
-                cfg.save_dir,
-                state,
-                epoch,
-                slot_dtype=cfg.checkpoint_slot_dtype,
-                async_write=cfg.async_checkpoint,
-            )
-            if cfg.max_checkpoints_to_keep:
-                prune_checkpoints(
+            if cfg.checkpoint_backend == "orbax":
+                from otgan_tpu.utils import checkpoint_orbax
+
+                # orbax applies the Saver-style retention itself
+                path = checkpoint_orbax.save_checkpoint(
                     cfg.save_dir,
-                    cfg.max_checkpoints_to_keep,
-                    cfg.keep_checkpoint_every_n_hours,
+                    state,
+                    epoch,
+                    max_to_keep=cfg.max_checkpoints_to_keep,
+                    keep_every_hours=cfg.keep_checkpoint_every_n_hours,
+                    async_write=cfg.async_checkpoint,
                 )
+            else:
+                path = save_checkpoint(
+                    cfg.save_dir,
+                    state,
+                    epoch,
+                    slot_dtype=cfg.checkpoint_slot_dtype,
+                    async_write=cfg.async_checkpoint,
+                )
+                if cfg.max_checkpoints_to_keep:
+                    prune_checkpoints(
+                        cfg.save_dir,
+                        cfg.max_checkpoints_to_keep,
+                        cfg.keep_checkpoint_every_n_hours,
+                    )
             logger.save_distances(mean_dist_gen, mean_dist_disc)
             print(
                 f"saved {path}; elapsed hours "

@@ -110,8 +110,19 @@ def save_checkpoint(
 
 def restore_checkpoint(path: str, template: Pytree) -> Pytree:
     """Restore into a pytree shaped like ``template`` (dtypes/shapes checked);
-    transparently decodes bfloat16-compressed slot leaves."""
+    transparently decodes bfloat16-compressed slot leaves. A directory path
+    is dispatched to the orbax backend (``<save_dir>/orbax/<step>/``), so
+    every consumer (trainer resume, sampling/eval CLIs) accepts checkpoints
+    from either backend."""
     wait_for_pending_saves()  # never read around an in-flight async write
+    if os.path.isdir(path):
+        from otgan_tpu.utils import checkpoint_orbax
+
+        step_dir = os.path.normpath(path)
+        save_dir = os.path.dirname(os.path.dirname(step_dir))
+        return checkpoint_orbax.restore_checkpoint(
+            save_dir, template, step=int(os.path.basename(step_dir))
+        )
     with np.load(path) as data:
         leaves = []
         for i in range(len(data.files)):
@@ -141,17 +152,28 @@ def restore_checkpoint(path: str, template: Pytree) -> Pytree:
 
 def latest_checkpoint(save_dir: str) -> Optional[str]:
     """Highest-step checkpoint path, or None (replaces the reference's
-    filename-suffix parsing at ``train.py:190-193``)."""
-    paths = glob.glob(os.path.join(save_dir, f"{_PREFIX}-*.npz"))
+    filename-suffix parsing at ``train.py:190-193``). Considers both
+    backends: ``otgan_state-<step>.npz`` files and committed orbax step
+    directories under ``<save_dir>/orbax/``; the highest step wins."""
     best, best_step = None, -1
-    for p in paths:
+    for p in glob.glob(os.path.join(save_dir, f"{_PREFIX}-*.npz")):
         m = re.search(rf"{_PREFIX}-(\d+)\.npz$", p)
         if m and int(m.group(1)) > best_step:
             best, best_step = p, int(m.group(1))
+    for p in glob.glob(os.path.join(save_dir, "orbax", "*")):
+        base = os.path.basename(p)
+        # in-progress orbax saves live in tmp-suffixed dirs; committed
+        # steps are bare integers
+        if os.path.isdir(p) and base.isdigit() and int(base) > best_step:
+            best, best_step = p, int(base)
     return best
 
 
 def checkpoint_step(path: str) -> int:
+    if os.path.isdir(path) and os.path.basename(
+        os.path.normpath(path)
+    ).isdigit():
+        return int(os.path.basename(os.path.normpath(path)))
     m = re.search(rf"{_PREFIX}-(\d+)\.npz$", path)
     if not m:
         raise ValueError(f"not a checkpoint path: {path}")
