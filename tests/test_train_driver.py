@@ -83,6 +83,32 @@ def test_train_resume(tmp_path):
     assert int(np.asarray(state.step)) > 0
 
 
+def test_train_resume_orbax_backend(tmp_path):
+    """--checkpoint_backend orbax: trainer saves via orbax, resumes exactly
+    from the step directory through the unified latest/restore surface."""
+    from otgan_tpu.train import train
+    from otgan_tpu.utils.checkpoint import latest_checkpoint
+
+    kw = dict(
+        model="toy_mlp",
+        batch_size=64,
+        sinkhorn_lambda=50.0,
+        nr_sinkhorn_iter=5,
+        save_dir=str(tmp_path),
+        use_pallas=False,
+        save_every_epochs=2,
+        checkpoint_backend="orbax",
+    )
+    first = train(TrainConfig(max_epochs=2, **kw))
+    steps_per_epoch = int(np.asarray(first.step)) // 2
+    ckpt = latest_checkpoint(str(tmp_path))
+    assert ckpt is not None and os.path.isdir(ckpt)
+    assert os.path.basename(ckpt) == "1"  # epoch index at the save boundary
+    state = train(TrainConfig(max_epochs=3, load_params=True, **kw))
+    # epochs 0-1 ran in the first call, the resumed call runs exactly epoch 2
+    assert int(np.asarray(state.step)) == 3 * steps_per_epoch
+
+
 def test_presets():
     cfg = parse_args(["--preset", "train_py"])
     assert cfg.batch_size == 5000 and cfg.nr_gen_per_disc == 5
