@@ -155,6 +155,13 @@ def latest_checkpoint(save_dir: str) -> Optional[str]:
     filename-suffix parsing at ``train.py:190-193``). Considers both
     backends: ``otgan_state-<step>.npz`` files and committed orbax step
     directories under ``<save_dir>/orbax/``; the highest step wins."""
+    import sys
+
+    orbax_mod = sys.modules.get("otgan_tpu.utils.checkpoint_orbax")
+    if orbax_mod is not None:
+        # an orbax async commit from THIS process may still be renaming its
+        # step directory — wait so the newest step is visible
+        orbax_mod.wait_for_pending_saves()
     best, best_step = None, -1
     for p in glob.glob(os.path.join(save_dir, f"{_PREFIX}-*.npz")):
         m = re.search(rf"{_PREFIX}-(\d+)\.npz$", p)

@@ -24,6 +24,7 @@ onto another mesh/topology transparently — orbax reshards on read.
 
 from __future__ import annotations
 
+import atexit
 import datetime
 import os
 from typing import Any, Optional
@@ -32,6 +33,26 @@ import jax
 
 Pytree = Any
 _SUBDIR = "orbax"
+
+# Writer managers are CACHED per (run dir, options): CheckpointManager.close()
+# blocks on the in-flight async commit, so a fresh manager per save would
+# serialize the writes it is supposed to overlap with training. Orbax's
+# async save copies device->host synchronously before returning (donation-
+# safe for the engine's donated train steps) and persists in background.
+_writers: dict = {}
+
+
+def wait_for_pending_saves() -> None:
+    """Block until every cached writer's async commit has finished."""
+    for mgr in _writers.values():
+        mgr.wait_until_finished()
+
+
+@atexit.register
+def _close_writers() -> None:
+    for mgr in _writers.values():
+        mgr.close()
+    _writers.clear()
 
 
 def _manager(
@@ -69,16 +90,23 @@ def save_checkpoint(
     step directory path."""
     import orbax.checkpoint as ocp
 
-    with_mgr = _manager(save_dir, max_to_keep, keep_every_hours, async_write)
-    try:
-        # NamedTuple/custom pytrees -> plain containers for the handler;
-        # restore rebuilds the original structure from the template
-        flat = jax.tree.leaves(state)
-        with_mgr.save(step, args=ocp.args.StandardSave({"leaves": flat}))
-        if not async_write:
-            with_mgr.wait_until_finished()
-    finally:
-        with_mgr.close()  # close() blocks on any in-flight async commit
+    key = (
+        os.path.abspath(save_dir),
+        max_to_keep,
+        keep_every_hours,
+        async_write,
+    )
+    mgr = _writers.get(key)
+    if mgr is None:
+        mgr = _writers[key] = _manager(
+            save_dir, max_to_keep, keep_every_hours, async_write
+        )
+    # NamedTuple/custom pytrees -> plain containers for the handler;
+    # restore rebuilds the original structure from the template
+    flat = jax.tree.leaves(state)
+    mgr.save(step, args=ocp.args.StandardSave({"leaves": flat}))
+    if not async_write:
+        mgr.wait_until_finished()
     return os.path.join(save_dir, _SUBDIR, str(step))
 
 
@@ -89,6 +117,7 @@ def restore_checkpoint(
     the latest committed step."""
     import orbax.checkpoint as ocp
 
+    wait_for_pending_saves()  # never read around this process's own write
     mgr = _manager(save_dir)
     try:
         if step is None:
@@ -107,6 +136,7 @@ def restore_checkpoint(
 
 
 def latest_step(save_dir: str) -> Optional[int]:
+    wait_for_pending_saves()
     mgr = _manager(save_dir)
     try:
         return mgr.latest_step()

@@ -172,9 +172,11 @@ def test_checkpoint_orbax_roundtrip_sharded(tmp_path):
     p_npz = save_checkpoint(str(tmp_path), state, 300)
     assert latest_checkpoint(str(tmp_path)) == p_npz
 
-    # orbax-native retention (tf.train.Saver semantics)
+    # orbax-native retention (tf.train.Saver semantics); commits are async
+    # (cached writer managers), so synchronize before listing
     co.save_checkpoint(str(tmp_path), state, 201, max_to_keep=2)
     co.save_checkpoint(str(tmp_path), state, 202, max_to_keep=2)
+    co.wait_for_pending_saves()
     steps = sorted(
         int(os.path.basename(q))
         for q in (tmp_path / "orbax").iterdir()
