@@ -233,6 +233,7 @@ def train(cfg: TrainConfig) -> TrainState:
                     max_to_keep=cfg.max_checkpoints_to_keep,
                     keep_every_hours=cfg.keep_checkpoint_every_n_hours,
                     async_write=cfg.async_checkpoint,
+                    slot_dtype=cfg.checkpoint_slot_dtype,
                 )
             else:
                 path = save_checkpoint(
@@ -260,6 +261,13 @@ def train(cfg: TrainConfig) -> TrainState:
     from otgan_tpu.utils.checkpoint import wait_for_pending_saves
 
     wait_for_pending_saves()
+    if cfg.checkpoint_backend == "orbax":
+        # same guarantee as the npz drain above: the final async commit is
+        # on disk before train() returns (a killed process after return
+        # must not lose a checkpoint it reported as saved)
+        from otgan_tpu.utils import checkpoint_orbax
+
+        checkpoint_orbax.wait_for_pending_saves()
     logger.close()
     return state
 

@@ -116,12 +116,22 @@ def restore_checkpoint(path: str, template: Pytree) -> Pytree:
     from either backend."""
     wait_for_pending_saves()  # never read around an in-flight async write
     if os.path.isdir(path):
+        step_dir = os.path.normpath(path)
+        parent = os.path.dirname(step_dir)
+        if not (
+            os.path.basename(step_dir).isdigit()
+            and os.path.basename(parent) == "orbax"
+        ):
+            raise ValueError(
+                f"not a checkpoint path: {path} (directories must be orbax "
+                "step dirs of the form <save_dir>/orbax/<step>)"
+            )
         from otgan_tpu.utils import checkpoint_orbax
 
-        step_dir = os.path.normpath(path)
-        save_dir = os.path.dirname(os.path.dirname(step_dir))
         return checkpoint_orbax.restore_checkpoint(
-            save_dir, template, step=int(os.path.basename(step_dir))
+            os.path.dirname(parent),
+            template,
+            step=int(os.path.basename(step_dir)),
         )
     with np.load(path) as data:
         leaves = []

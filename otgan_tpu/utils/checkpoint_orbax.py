@@ -13,8 +13,10 @@ Retention maps 1:1 onto the reference's ``tf.train.Saver`` semantics
 ``keep_checkpoint_every_n_hours`` -> ``CheckpointManagerOptions.max_to_keep``
 / ``keep_time_interval``.
 
-Same five-call surface as the npz backend, dispatched by
-``cfg.checkpoint_backend`` in the trainer. Layout:
+Surface: ``save_checkpoint`` / ``restore_checkpoint`` /
+``wait_for_pending_saves``, dispatched by ``cfg.checkpoint_backend`` in the
+trainer; latest-step discovery goes through the unified
+``utils.checkpoint.latest_checkpoint`` (which scans both backends). Layout:
 ``<save_dir>/orbax/<step>/`` (one directory per step, orbax-managed).
 
 NOTE: the state's sharding is restored from the live ``template`` pytree
@@ -84,11 +86,20 @@ def save_checkpoint(
     max_to_keep: int = 0,
     keep_every_hours: float = 0.0,
     async_write: bool = True,
+    slot_dtype: str = "float32",
 ) -> str:
     """Save ``state`` at ``step``; retention is applied by orbax itself
     (unlike the npz backend there is no separate prune call). Returns the
-    step directory path."""
+    step directory path.
+
+    ``slot_dtype="bfloat16"`` stores EMA/optimizer-slot leaves in bf16
+    (same field set as the npz backend); restore upcasts into the f32
+    template transparently (orbax casts saved leaves to the template
+    dtype)."""
+    import jax.numpy as jnp
     import orbax.checkpoint as ocp
+
+    from otgan_tpu.utils.checkpoint import _slot_mask
 
     key = (
         os.path.abspath(save_dir),
@@ -104,6 +115,13 @@ def save_checkpoint(
     # NamedTuple/custom pytrees -> plain containers for the handler;
     # restore rebuilds the original structure from the template
     flat = jax.tree.leaves(state)
+    if slot_dtype == "bfloat16":
+        flat = [
+            leaf.astype(jnp.bfloat16)
+            if is_slot and getattr(leaf, "dtype", None) == jnp.float32
+            else leaf
+            for leaf, is_slot in zip(flat, _slot_mask(state))
+        ]
     mgr.save(step, args=ocp.args.StandardSave({"leaves": flat}))
     if not async_write:
         mgr.wait_until_finished()
@@ -118,7 +136,8 @@ def restore_checkpoint(
     import orbax.checkpoint as ocp
 
     wait_for_pending_saves()  # never read around this process's own write
-    mgr = _manager(save_dir)
+    # read-only manager: no async-commit machinery to spin up/tear down
+    mgr = _manager(save_dir, async_write=False)
     try:
         if step is None:
             step = mgr.latest_step()
@@ -133,12 +152,3 @@ def restore_checkpoint(
     finally:
         mgr.close()
     return jax.tree.unflatten(treedef, out["leaves"])
-
-
-def latest_step(save_dir: str) -> Optional[int]:
-    wait_for_pending_saves()
-    mgr = _manager(save_dir)
-    try:
-        return mgr.latest_step()
-    finally:
-        mgr.close()

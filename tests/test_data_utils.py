@@ -184,6 +184,46 @@ def test_checkpoint_orbax_roundtrip_sharded(tmp_path):
     )
     assert steps == [201, 202]
 
+    # a directory that is NOT an orbax step dir is rejected with the
+    # module's own error, not a bare int() crash
+    try:
+        restore_checkpoint(str(tmp_path), template)
+        assert False
+    except ValueError as e:
+        assert "not a checkpoint path" in str(e)
+
+
+def test_checkpoint_orbax_bf16_slots(tmp_path):
+    """slot_dtype='bfloat16' on the orbax backend: EMA/opt-slot fields are
+    stored bf16 and restore upcasts into the f32 template (params exact,
+    slots within bf16 rounding) — parity with the npz backend's diet."""
+    from collections import namedtuple
+
+    from otgan_tpu.utils import checkpoint_orbax as co
+
+    S = namedtuple("S", "gen_params gen_ema gen_opt disc_opt step")
+    rng = np.random.default_rng(0)
+    mk = lambda: jnp.asarray(rng.standard_normal((4, 3)), jnp.float32)
+    state = S(
+        gen_params=mk(), gen_ema=mk(), gen_opt=mk(), disc_opt=mk(),
+        step=jnp.asarray(3),
+    )
+    co.save_checkpoint(
+        str(tmp_path), state, 5, slot_dtype="bfloat16", async_write=False
+    )
+    template = jax.tree.map(jnp.zeros_like, state)
+    r = co.restore_checkpoint(str(tmp_path), template)
+    # params bit-exact (never compressed)
+    np.testing.assert_array_equal(
+        np.asarray(r.gen_params), np.asarray(state.gen_params)
+    )
+    assert r.gen_ema.dtype == jnp.float32  # template dtype after upcast
+    np.testing.assert_allclose(
+        np.asarray(r.gen_ema), np.asarray(state.gen_ema), rtol=8e-3
+    )
+    # and bf16 rounding actually happened (file stored compressed)
+    assert np.any(np.asarray(r.gen_ema) != np.asarray(state.gen_ema))
+
 
 def test_metric_logger(tmp_path):
     ml = MetricLogger(str(tmp_path), echo=False)
