@@ -110,6 +110,18 @@ class TrainConfig:
     # reference Saver's retention knobs map onto orbax natively. Restore
     # and the sampling/eval CLIs accept checkpoints from either backend.
     checkpoint_backend: str = "npz"
+    # ---- multi-host (pod) launch ----
+    # initialize jax.distributed before any other JAX call, then run the
+    # SAME SPMD program on every host: each process feeds its
+    # process_index::process_count slice of the data at batch_size /
+    # process_count per step, artifacts are written by process 0, and
+    # checkpointing switches to the orbax backend (per-process shard
+    # writes). On TPU pods bare --multihost auto-detects the coordinator;
+    # manual launches (e.g. CPU) pass all three explicit values.
+    multihost: bool = False
+    coordinator_address: str = ""  # "" = auto-detect (TPU pods)
+    num_processes: int = 0  # 0 = auto
+    process_id: int = -1  # -1 = auto
     # freeze the critic after this many global steps (0 = never, the
     # reference train.py behavior). Toy notebook 2 trains with D+G updates
     # every iteration and freezes D after iteration 15000

@@ -122,7 +122,13 @@ class DataLoader:
         data: Optional[np.ndarray] = None,
         labels: Optional[np.ndarray] = None,
         native: bool = True,
+        process_index: int = 0,
+        process_count: int = 1,
     ):
+        """``process_index/process_count``: multi-host data parallelism —
+        this loader keeps only rows ``process_index::process_count`` of the
+        dataset (disjoint per-host shards; ``batch_size`` is then the
+        PER-PROCESS batch)."""
         self._u8 = False
         if data is None:
             from otgan_tpu.data import native as native_mod
@@ -136,6 +142,10 @@ class DataLoader:
                 self._u8 = True
             else:
                 data = to_nhwc_float(raw)
+        if process_count > 1:
+            data = data[process_index::process_count]
+            if labels is not None:
+                labels = labels[process_index::process_count]
         if data.dtype == np.uint8:
             self._u8 = True
             self.data = np.ascontiguousarray(data)

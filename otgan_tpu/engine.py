@@ -262,9 +262,6 @@ class Engine:
 
     def shard_steps(self, xs):
         """Place a (K, B, ...) stack of step batches sharded on the batch
-        axis (axis 1) for ``cycle_step``."""
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        return jax.device_put(
-            xs, NamedSharding(self.mesh, P(None, "data"))
-        )
+        axis (axis 1) for ``cycle_step`` (multi-process: xs carries this
+        process's local batch slices)."""
+        return shard_batch(self.mesh, xs, axis=1)

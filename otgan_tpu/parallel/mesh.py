@@ -29,13 +29,37 @@ def make_mesh(
     return Mesh(np.asarray(devs), (DATA_AXIS,))
 
 
-def shard_batch(mesh: Mesh, x: Any):
-    """Place a host batch sharded along the data axis (leading dim)."""
-    sharding = NamedSharding(mesh, P(DATA_AXIS))
+def shard_batch(mesh: Mesh, x: Any, axis: int = 0):
+    """Place a host batch sharded along the data axis (dim ``axis``).
+
+    Single process: a plain ``device_put``. Multi-process (pod launch,
+    ``jax.distributed.initialize``): ``x`` is this PROCESS'S LOCAL slice of
+    the batch — the global array is assembled from every process's slice
+    without any cross-host copy of the data itself
+    (``jax.make_array_from_process_local_data``). Global batch =
+    local batch x process_count; processes feed disjoint slices (the
+    trainer slices the dataset ``process_index::process_count``)."""
+    spec = [None] * np.ndim(x)
+    spec[axis] = DATA_AXIS
+    sharding = NamedSharding(mesh, P(*spec))
+    if jax.process_count() > 1:
+        x = np.asarray(x)
+        global_shape = list(x.shape)
+        global_shape[axis] = x.shape[axis] * jax.process_count()
+        return jax.make_array_from_process_local_data(
+            sharding, x, tuple(global_shape)
+        )
     return jax.device_put(x, sharding)
 
 
 def replicate(mesh: Mesh, tree: Any):
-    """Replicate a pytree (params / opt state) across the mesh."""
+    """Replicate a pytree (params / opt state) across the mesh.
+
+    Multi-process: inputs are jit-outputs or identical host values on every
+    process, so a jitted identity with replicated out_shardings performs
+    the (collective-free) replication; plain ``device_put`` cannot target
+    non-addressable devices."""
     sharding = NamedSharding(mesh, P())
+    if jax.process_count() > 1:
+        return jax.jit(lambda t: t, out_shardings=sharding)(tree)
     return jax.device_put(tree, sharding)

@@ -18,6 +18,7 @@ grids (raw + EMA), periodic eval + checkpoints.
 
 from __future__ import annotations
 
+import dataclasses
 import os
 import time
 from typing import Optional
@@ -45,11 +46,58 @@ def _toy_epoch(rng: np.random.Generator, batch_size: int, n_batches: int = 78):
         yield sample_8gaussians(rng, batch_size)
 
 
-def _save_sample_grid(engine: Engine, state: TrainState, path: str, rng_seed: int, ema: bool):
+_distributed_initialized = False
+
+
+def maybe_init_distributed(cfg: TrainConfig) -> None:
+    """Multi-host (pod) launch: bring up jax.distributed BEFORE any other
+    JAX call so every process sees the global device set. Idempotent.
+    Bare ``--multihost`` auto-detects (TPU pods); manual launches pass
+    coordinator_address/num_processes/process_id explicitly."""
+    global _distributed_initialized
+    if not cfg.multihost or _distributed_initialized:
+        return
+    kw = {}
+    if cfg.coordinator_address:
+        kw["coordinator_address"] = cfg.coordinator_address
+    if cfg.num_processes:
+        kw["num_processes"] = cfg.num_processes
+    if cfg.process_id >= 0:
+        kw["process_id"] = cfg.process_id
+    jax.distributed.initialize(**kw)
+    _distributed_initialized = True
+
+
+class _NullLogger:
+    """Metric sink for non-chief processes (every host computes the same
+    replicated metrics; only process 0 writes artifacts)."""
+
+    def log(self, step, **values):
+        pass
+
+    def save_distances(self, *a, **kw):
+        pass
+
+    def close(self):
+        pass
+
+
+def _save_sample_grid(
+    engine: Engine,
+    state: TrainState,
+    path: str,
+    rng_seed: int,
+    ema: bool,
+    write: bool = True,
+):
+    # multi-process: EVERY process participates in the jitted sample (SPMD
+    # launch over the global mesh); only the chief writes the artifact
     n = 100
     x = np.asarray(
         engine.sample(state, jax.random.PRNGKey(rng_seed), n, ema)
     )
+    if not write:
+        return
     if x.ndim == 4:  # images
         grid = img_tile(x, aspect_ratio=1.0, border_color=1.0, stretch=False)
         save_tile_img(grid, path)
@@ -58,10 +106,28 @@ def _save_sample_grid(engine: Engine, state: TrainState, path: str, rng_seed: in
 
 
 def train(cfg: TrainConfig) -> TrainState:
+    maybe_init_distributed(cfg)
+    pid, pcount = jax.process_index(), jax.process_count()
+    is_chief = pid == 0
+    if cfg.batch_size % pcount != 0:
+        raise ValueError(
+            f"global batch {cfg.batch_size} must be divisible by the "
+            f"process count {pcount}"
+        )
+    local_batch = cfg.batch_size // pcount  # per-process slice of each step
+    if pcount > 1 and cfg.checkpoint_backend != "orbax":
+        # npz checkpoints funnel through one host and its prune/glob logic
+        # is not multi-process aware; orbax is the pod path
+        print(
+            "multihost run: switching checkpoint_backend npz -> orbax "
+            "(per-process shard writes)"
+        )
+        cfg = dataclasses.replace(cfg, checkpoint_backend="orbax")
     os.makedirs(cfg.save_dir, exist_ok=True)
     # persist the run config so sample/evaluate CLIs can rebuild the exact
     # model (incl. densenet block settings) from any checkpoint
-    cfg.save(os.path.join(cfg.save_dir, "config.json"))
+    if is_chief:
+        cfg.save(os.path.join(cfg.save_dir, "config.json"))
     np.random.seed(cfg.seed)
     # unconditional so False means OFF even after a debug run in-process
     jax.config.update("jax_debug_nans", cfg.debug_nans)
@@ -70,33 +136,49 @@ def train(cfg: TrainConfig) -> TrainState:
     print(
         f"mesh: {engine.mesh}; backend: {jax.default_backend()}; "
         f"global batch: {cfg.batch_size}"
+        + (f"; process {pid}/{pcount} (local batch {local_batch})" if pcount > 1 else "")
     )
 
-    # ---- data ----
+    # ---- data (multi-process: each host feeds a disjoint slice) ----
     is_toy = cfg.model == "toy_mlp"
-    data_rng = np.random.default_rng(cfg.seed)
+    data_rng = np.random.default_rng(
+        cfg.seed if pcount == 1 else (cfg.seed, pid)
+    )
     if is_toy:
-        x_init = sample_8gaussians(data_rng, cfg.batch_size)
-        n_batches = 78  # ~40000/512, one notebook "epoch"
+        x_init = sample_8gaussians(data_rng, local_batch)
+        # ~40000/512, one notebook "epoch"; env override for fast harness
+        # runs (e.g. the 2-process multihost test)
+        n_batches = int(os.environ.get("OTGAN_TOY_EPOCH_BATCHES", "78"))
         loader = None
     else:
         if cfg.synthetic_data:
-            synth = data_rng.integers(
+            # multi-process: a fresh same-seed rng on every process gives an
+            # identical dataset and the loader keeps rows pid::pcount (the
+            # real-data scheme); single-process keeps the historical stream
+            # (data_rng) so documented runs stay reproducible
+            synth_rng = (
+                data_rng if pcount == 1 else np.random.default_rng(cfg.seed)
+            )
+            synth = synth_rng.integers(
                 0, 256, (cfg.synthetic_size, 32, 32, 3)
             ).astype(np.uint8)
             loader = DataLoader(
                 cfg.data_dir,
-                batch_size=cfg.batch_size,
+                batch_size=local_batch,
                 rng=data_rng,
                 data=synth,
                 labels=np.zeros((cfg.synthetic_size,), np.uint8),
+                process_index=pid,
+                process_count=pcount,
             )
         else:
             loader = DataLoader(
                 cfg.data_dir,
                 subset="train",
-                batch_size=cfg.batch_size,
+                batch_size=local_batch,
                 rng=data_rng,
+                process_index=pid,
+                process_count=pcount,
             )
         x_init = loader.init_batch()
         n_batches = loader.num_batches
@@ -114,7 +196,7 @@ def train(cfg: TrainConfig) -> TrainState:
         else:
             print("no checkpoint found; training from scratch")
 
-    logger = MetricLogger(cfg.save_dir)
+    logger = MetricLogger(cfg.save_dir) if is_chief else _NullLogger()
     if cfg.profile_dir:
         jax.profiler.start_trace(cfg.profile_dir)
 
@@ -126,7 +208,7 @@ def train(cfg: TrainConfig) -> TrainState:
         begin = time.time()
         dist_gen, dist_disc, entropies = [], [], []
         batches = (
-            _toy_epoch(data_rng, cfg.batch_size, n_batches)
+            _toy_epoch(data_rng, local_batch, n_batches)
             if is_toy
             else loader.epoch()
         )
@@ -205,11 +287,11 @@ def train(cfg: TrainConfig) -> TrainState:
         # per-epoch sample grids, raw + EMA (train.py:233-243)
         _save_sample_grid(
             engine, state, os.path.join(cfg.save_dir, f"sample{epoch}.png"),
-            rng_seed=epoch, ema=False,
+            rng_seed=epoch, ema=False, write=is_chief,
         )
         _save_sample_grid(
             engine, state, os.path.join(cfg.save_dir, f"ema_sample{epoch}.png"),
-            rng_seed=epoch, ema=True,
+            rng_seed=epoch, ema=True, write=is_chief,
         )
 
         # periodic inception eval (train.py:245-273)
@@ -236,6 +318,8 @@ def train(cfg: TrainConfig) -> TrainState:
                     slot_dtype=cfg.checkpoint_slot_dtype,
                 )
             else:
+                # npz: single-host write path (state is fully replicated,
+                # so the chief holds every leaf)
                 path = save_checkpoint(
                     cfg.save_dir,
                     state,
@@ -250,11 +334,12 @@ def train(cfg: TrainConfig) -> TrainState:
                         cfg.keep_checkpoint_every_n_hours,
                     )
             logger.save_distances(mean_dist_gen, mean_dist_disc)
-            print(
-                f"saved {path}; elapsed hours "
-                f"{(time.time() - start_time) / 3600:.3f}; "
-                f"total updates {step_counter}"
-            )
+            if is_chief:
+                print(
+                    f"saved {path}; elapsed hours "
+                    f"{(time.time() - start_time) / 3600:.3f}; "
+                    f"total updates {step_counter}"
+                )
 
     if cfg.profile_dir:
         jax.profiler.stop_trace()

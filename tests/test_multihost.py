@@ -1,0 +1,108 @@
+"""Multi-host (pod-style) launch: the SAME train CLI on 2 real OS
+processes over jax.distributed, each feeding its process-local data slice
+(SURVEY.md section 2.3 data parallelism, across PROCESS boundaries — the
+step the 8-virtual-device in-process tests cannot cover).
+
+Runs on CPU: each process owns 1 CPU device, so the mesh is 2 global
+devices across 2 processes; collectives go through the distributed
+runtime (gloo), exactly as cross-host ICI/DCN traffic would on a pod.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def _launch(pid: int, port: int, save_dir: str, extra: list) -> subprocess.Popen:
+    # in-process CPU forcing (the axon sitecustomize force-registers the
+    # TPU platform; env alone is not enough — CLAUDE.md)
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu');"
+        "from otgan_tpu.train import main; main("
+        f"{extra + ['--process_id', str(pid)]!r})"
+    )
+    env = dict(
+        os.environ,
+        OTGAN_TOY_EPOCH_BATCHES="6",
+        XLA_FLAGS="",  # no virtual device fan-out: 1 CPU device per process
+    )
+    return subprocess.Popen(
+        [sys.executable, "-c", code],
+        env=env,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT,
+        text=True,
+    )
+
+
+def test_two_process_toy_train(tmp_path):
+    port = _free_port()
+    save_dir = str(tmp_path / "run")
+    args = [
+        "--model", "toy_mlp",
+        "--batch_size", "128",  # GLOBAL; 64 per process
+        "--sinkhorn_lambda", "50.0",
+        "--nr_sinkhorn_iter", "5",
+        "--max_epochs", "2",
+        "--save_every_epochs", "2",
+        "--save_dir", save_dir,
+        "--no_use_pallas",
+        "--multihost",
+        "--coordinator_address", f"127.0.0.1:{port}",
+        "--num_processes", "2",
+    ]
+    procs = [_launch(i, port, save_dir, args) for i in range(2)]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=420)
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {i} failed:\n{out[-4000:]}"
+
+    # both processes saw the 2-device global mesh and the local split
+    assert "process 0/2 (local batch 64)" in outs[0]
+    assert "process 1/2 (local batch 64)" in outs[1]
+    # npz backend was auto-switched to orbax for the pod path
+    assert "switching checkpoint_backend npz -> orbax" in outs[0]
+
+    # chief-only artifacts: metrics written once, with finite distances
+    recs = [
+        json.loads(l) for l in open(os.path.join(save_dir, "metrics.jsonl"))
+    ]
+    epochs = [r for r in recs if "epoch" in r]
+    assert len(epochs) == 2
+    assert np.isfinite(epochs[-1]["dist_gen"])
+    # chief-only logging: process 0 echoes metric lines, process 1 is silent
+    import re
+
+    d0 = re.findall(r"dist_gen=([0-9.]+)", outs[0])
+    assert d0 and all(np.isfinite(float(d)) for d in d0)
+    assert not re.findall(r"dist_gen=", outs[1])
+
+    # orbax checkpoint committed at the epoch-1 boundary
+    assert os.path.isdir(os.path.join(save_dir, "orbax", "1"))
+    # toy sample dumps from the chief only
+    assert os.path.exists(os.path.join(save_dir, "sample0.npy"))
+
+    # ---- resume leg: collective orbax restore across both processes ----
+    port2 = _free_port()
+    resume_args = [
+        a if a != f"127.0.0.1:{port}" else f"127.0.0.1:{port2}"
+        for a in args
+    ] + ["--load_params", "--max_epochs", "3"]
+    procs = [_launch(i, port2, save_dir, resume_args) for i in range(2)]
+    outs = [p.communicate(timeout=420)[0] for p in procs]
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"resume process {i} failed:\n{out[-4000:]}"
+    for out in outs:
+        assert "resuming at epoch 2" in out  # both restored the same step
