@@ -209,6 +209,13 @@ def main():
         "value": round(img_per_sec, 1),
         "unit": "img/s/chip",
         "vs_baseline": round(img_per_sec / REF_IMG_PER_SEC_PER_GPU, 2),
+        "remat_policy": (
+            os.environ.get(
+                "BENCH_REMAT_POLICY", "gen_g1,disc_c4,gen_g2,disc_c3"
+            )
+            if remat
+            else ""
+        ),
         **extra,
     }
     print(json.dumps(result))
