@@ -51,6 +51,14 @@ import time
 import numpy as np
 
 REF_IMG_PER_SEC_PER_GPU = 190.0  # documented estimate + sensitivity above
+# measured-best selective-remat set at batch 5120 (docstring above)
+DEFAULT_REMAT_POLICY = "gen_g1,disc_c4,gen_g2,disc_c3"
+
+
+def _remat_policy(remat: bool) -> str:
+    if not remat:
+        return ""
+    return os.environ.get("BENCH_REMAT_POLICY", DEFAULT_REMAT_POLICY)
 
 
 def log(*a):
@@ -120,14 +128,9 @@ def _bench_throughput(batch, cycles, remat, profile_dir="", fused=True):
     from otgan_tpu.config import TrainConfig
     from otgan_tpu.engine import Engine
 
-    remat_policy = (
-        os.environ.get("BENCH_REMAT_POLICY", "gen_g1,disc_c4,gen_g2,disc_c3")
-        if remat
-        else ""
-    )
     cfg = TrainConfig(
         model="dcgan", batch_size=batch, remat=remat,
-        remat_policy=remat_policy,
+        remat_policy=_remat_policy(remat),
     )
     eng = Engine(cfg)
     sec_per_cycle, per_cycle = _time_cycles(
@@ -209,13 +212,7 @@ def main():
         "value": round(img_per_sec, 1),
         "unit": "img/s/chip",
         "vs_baseline": round(img_per_sec / REF_IMG_PER_SEC_PER_GPU, 2),
-        "remat_policy": (
-            os.environ.get(
-                "BENCH_REMAT_POLICY", "gen_g1,disc_c4,gen_g2,disc_c3"
-            )
-            if remat
-            else ""
-        ),
+        "remat_policy": _remat_policy(remat),
         **extra,
     }
     print(json.dumps(result))

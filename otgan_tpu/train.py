@@ -345,14 +345,9 @@ def train(cfg: TrainConfig) -> TrainState:
         jax.profiler.stop_trace()
     from otgan_tpu.utils.checkpoint import wait_for_pending_saves
 
+    # every checkpoint reported as saved is durable before train() returns
+    # (both backends; a killed process after return must not lose one)
     wait_for_pending_saves()
-    if cfg.checkpoint_backend == "orbax":
-        # same guarantee as the npz drain above: the final async commit is
-        # on disk before train() returns (a killed process after return
-        # must not lose a checkpoint it reported as saved)
-        from otgan_tpu.utils import checkpoint_orbax
-
-        checkpoint_orbax.wait_for_pending_saves()
     logger.close()
     return state
 

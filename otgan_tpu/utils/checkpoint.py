@@ -46,11 +46,19 @@ _pending_save: Optional[threading.Thread] = None
 
 
 def wait_for_pending_saves() -> None:
-    """Join any in-flight background checkpoint write."""
+    """Join any in-flight background checkpoint write — BOTH backends: the
+    npz writer thread and (when the module is loaded) orbax's async
+    commits. Callers get one process-wide "all checkpoint writes durable"
+    barrier regardless of backend."""
     global _pending_save
     if _pending_save is not None:
         _pending_save.join()
         _pending_save = None
+    import sys
+
+    orbax_mod = sys.modules.get("otgan_tpu.utils.checkpoint_orbax")
+    if orbax_mod is not None:
+        orbax_mod.wait_for_pending_saves()
 
 
 def _slot_mask(state: Pytree) -> list:
@@ -165,13 +173,9 @@ def latest_checkpoint(save_dir: str) -> Optional[str]:
     filename-suffix parsing at ``train.py:190-193``). Considers both
     backends: ``otgan_state-<step>.npz`` files and committed orbax step
     directories under ``<save_dir>/orbax/``; the highest step wins."""
-    import sys
-
-    orbax_mod = sys.modules.get("otgan_tpu.utils.checkpoint_orbax")
-    if orbax_mod is not None:
-        # an orbax async commit from THIS process may still be renaming its
-        # step directory — wait so the newest step is visible
-        orbax_mod.wait_for_pending_saves()
+    # an async commit from THIS process may still be renaming its step
+    # directory/file — wait so the newest step is visible
+    wait_for_pending_saves()
     best, best_step = None, -1
     for p in glob.glob(os.path.join(save_dir, f"{_PREFIX}-*.npz")):
         m = re.search(rf"{_PREFIX}-(\d+)\.npz$", p)
@@ -187,10 +191,9 @@ def latest_checkpoint(save_dir: str) -> Optional[str]:
 
 
 def checkpoint_step(path: str) -> int:
-    if os.path.isdir(path) and os.path.basename(
-        os.path.normpath(path)
-    ).isdigit():
-        return int(os.path.basename(os.path.normpath(path)))
+    base = os.path.basename(os.path.normpath(path))
+    if os.path.isdir(path) and base.isdigit():
+        return int(base)
     m = re.search(rf"{_PREFIX}-(\d+)\.npz$", path)
     if not m:
         raise ValueError(f"not a checkpoint path: {path}")
