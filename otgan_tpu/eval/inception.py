@@ -38,7 +38,9 @@ DEFAULT_WEIGHTS = "/tmp/imagenet/inception_v3_jax.npz"
 # (utils/inception.py:34). Per-image probabilities are batch-invariant, so
 # OTGAN_INCEPTION_BATCH can raise this to amortize per-batch dispatch +
 # host->device transfer over the 50 000x2 samples of a full eval
-# (e.g. 1000 on a tunneled chip) without changing the score.
+# without changing the score. Measured on one v5e chip (streaming
+# sampler path, DCGAN generator): 50 000 samples in 42 s at 100 and
+# 32 s at 500 (1572 img/s) — one full raw+EMA eval event is ~2 x 32 s.
 _BATCH = int(os.environ.get("OTGAN_INCEPTION_BATCH", "100"))
 
 _params_cache = None
