@@ -8,6 +8,7 @@ from otgan_tpu.nn.layers import (
     nn_upsample,
     glu,
     l2_normalize_rows,
+    save_point,
 )
 from otgan_tpu.nn.optim import (
     adam_init,
