@@ -29,7 +29,9 @@ anchor alone. Within-framework numbers (img/s/chip, step breakdowns) are
 measured, not estimated. Images are synthetic (CIFAR shape); data loading
 is not measured (the loader prefetches on the host in both frameworks).
 
-Env knobs: BENCH_BATCH (default 5120; the headline), BENCH_SMALL_BATCH
+Env knobs: BENCH_BATCH (default 5000 — the reference's exact train.py
+batch, exercising the block-padded kernel path; 5120 is the lane-aligned
+variant the remat sweep was measured at), BENCH_SMALL_BATCH
 (default 256; secondary, 0 = skip), BENCH_CYCLES (default 3),
 BENCH_PARITY (default 1 on TPU: run the kernel parity cross-check),
 BENCH_REMAT (default 1: jax.checkpoint over model blocks at paper scale),

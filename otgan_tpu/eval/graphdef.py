@@ -15,7 +15,8 @@ protobuf wire format (varints + length-delimited fields) to walk
                   repeated int32 int_val = 7; }
     TensorShapeProto { repeated Dim dim = 2; }  Dim { int64 size = 1; }
 
-and extract every ``Const`` node as a numpy array. The inverse encoders are
+and extract every *numeric* ``Const`` node as a numpy array (non-numeric
+consts — e.g. the graph's DT_STRING ``DecodeJpeg/contents`` — are skipped). The inverse encoders are
 used by the unit tests to synthesize structurally-identical GraphDefs
 (SURVEY.md section 4: the reference has no tests; this path is tested
 against self-encoded graphs so the real .pb converts on first contact).
@@ -103,7 +104,7 @@ def _parse_tensor_shape(buf, span) -> Tuple[int, ...]:
     return tuple(dims)
 
 
-def _parse_tensor(buf, span) -> np.ndarray:
+def _parse_tensor(buf, span):
     dtype = DT_FLOAT
     shape: Tuple[int, ...] = ()
     content = b""
@@ -130,7 +131,10 @@ def _parse_tensor(buf, span) -> np.ndarray:
             else:
                 scalar_vals.append(val)
     if dtype not in _DTYPES:
-        raise ValueError(f"unsupported TensorProto dtype {dtype}")
+        # the real classify_image graph carries non-numeric Consts
+        # (DT_STRING DecodeJpeg/contents, DT_BOOL switches); the converter
+        # only needs the float/int weights, so skip rather than abort
+        return None
     np_dtype = _DTYPES[dtype]
     n = int(np.prod(shape)) if shape else 1
     if content:

@@ -106,21 +106,27 @@ def _kernel(x_ref, v_out_ref, v_ref, m_ref, s_ref):
         v_out_ref[...] = -(m_ref[...] + jnp.log(s_ref[...]))
 
 
-def _pick_panel(n: int, m: int) -> int:
+def _pick_panel(n: int, m: int):
     """Full-height (resident) panel when the matrix fits VMEM, else the
-    tallest streaming panel that divides n and fits double-buffered."""
+    tallest streaming panel that divides n and fits double-buffered;
+    ``None`` when no panel honors the VMEM budget (very wide m) — the
+    dispatcher must fall back to the XLA loop, not blow VMEM."""
     if n * m <= _RESIDENT_CELLS and n % _SUBLANE == 0:
         return n
     for p in _PANELS:
         if n % p == 0 and p * m <= _PANEL_CELLS:
             return p
-    return _PANELS[-1]
+    return None
 
 
 @functools.partial(jax.jit, static_argnames=("n_iters", "interpret"))
 def _col_potential(neg_lam_cost: jax.Array, n_iters: int, interpret: bool = False):
     n, m = neg_lam_cost.shape
     panel = _pick_panel(n, m)
+    if panel is None:
+        raise ValueError(
+            f"no VMEM-feasible panel for {n}x{m}; gate on tiled_supported()"
+        )
     n_panels = n // panel
     return pl.pallas_call(
         _kernel,
@@ -151,7 +157,8 @@ def _col_potential(neg_lam_cost: jax.Array, n_iters: int, interpret: bool = Fals
 def tiled_supported(n: int, m: int) -> bool:
     if m % _LANE != 0 or n * m == 0:
         return False
-    return n % _pick_panel(n, m) == 0
+    panel = _pick_panel(n, m)
+    return panel is not None and n % panel == 0
 
 
 @functools.partial(jax.jit, static_argnames=("lam", "n_iters"))

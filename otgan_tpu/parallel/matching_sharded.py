@@ -250,7 +250,15 @@ def make_sharded_two_batch_matcher(
             P(axis_name),
             P(),
         ),
-        check_vma=False,
+        # VMA typing ON for the XLA paths: it enforces that the tol
+        # while_loop carry / stop decision stay axis-invariant (the v
+        # potential comes out of pmax/psum collectives). The Pallas local
+        # step cannot run under it: pallas_call does not propagate
+        # varying-axis types and the interpret-mode lowering hits a JAX
+        # dynamic_slice VMA mismatch ("Primitive dynamic_slice requires
+        # varying manual axes to match" -- the error itself prescribes
+        # check_vma=False as the workaround).
+        check_vma=not use_pallas,
     )
 
     @jax.jit
@@ -329,7 +337,15 @@ def make_sharded_single_batch_matcher(
             P(axis_name),
             P(),
         ),
-        check_vma=False,
+        # VMA typing ON for the XLA paths: it enforces that the tol
+        # while_loop carry / stop decision stay axis-invariant (the v
+        # potential comes out of pmax/psum collectives). The Pallas local
+        # step cannot run under it: pallas_call does not propagate
+        # varying-axis types and the interpret-mode lowering hits a JAX
+        # dynamic_slice VMA mismatch ("Primitive dynamic_slice requires
+        # varying manual axes to match" -- the error itself prescribes
+        # check_vma=False as the workaround).
+        check_vma=not use_pallas,
     )
 
     @jax.jit

@@ -33,7 +33,6 @@ from otgan_tpu.engine import Engine, TrainState
 from otgan_tpu.utils.checkpoint import (
     checkpoint_step,
     latest_checkpoint,
-    prune_checkpoints,
     restore_checkpoint,
     save_checkpoint,
 )
@@ -320,19 +319,18 @@ def train(cfg: TrainConfig) -> TrainState:
             else:
                 # npz: single-host write path (state is fully replicated,
                 # so the chief holds every leaf)
+                # retention runs inside the writer (background when async —
+                # a caller-side prune would join the writer thread and
+                # serialize the write back onto the training loop)
                 path = save_checkpoint(
                     cfg.save_dir,
                     state,
                     epoch,
                     slot_dtype=cfg.checkpoint_slot_dtype,
                     async_write=cfg.async_checkpoint,
+                    max_to_keep=cfg.max_checkpoints_to_keep,
+                    keep_every_hours=cfg.keep_checkpoint_every_n_hours,
                 )
-                if cfg.max_checkpoints_to_keep:
-                    prune_checkpoints(
-                        cfg.save_dir,
-                        cfg.max_checkpoints_to_keep,
-                        cfg.keep_checkpoint_every_n_hours,
-                    )
             logger.save_distances(mean_dist_gen, mean_dist_disc)
             if is_chief:
                 print(

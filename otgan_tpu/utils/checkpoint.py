@@ -43,17 +43,23 @@ _BF16_SUFFIX = "__bf16"
 _SLOT_FIELDS = ("gen_ema", "gen_opt", "disc_opt")
 
 _pending_save: Optional[threading.Thread] = None
+_pending_error: Optional[BaseException] = None
 
 
 def wait_for_pending_saves() -> None:
     """Join any in-flight background checkpoint write — BOTH backends: the
     npz writer thread and (when the module is loaded) orbax's async
     commits. Callers get one process-wide "all checkpoint writes durable"
-    barrier regardless of backend."""
-    global _pending_save
+    barrier regardless of backend. A failure inside the writer thread
+    (disk full, unwritable dir) is re-raised HERE, so "the barrier
+    returned" really means "the checkpoint is on disk"."""
+    global _pending_save, _pending_error
     if _pending_save is not None:
         _pending_save.join()
         _pending_save = None
+    if _pending_error is not None:
+        err, _pending_error = _pending_error, None
+        raise RuntimeError("background checkpoint write failed") from err
     import sys
 
     orbax_mod = sys.modules.get("otgan_tpu.utils.checkpoint_orbax")
@@ -80,8 +86,16 @@ def save_checkpoint(
     step: int,
     slot_dtype: str = "float32",
     async_write: bool = False,
+    max_to_keep: int = 0,
+    keep_every_hours: float = 5.0,
 ) -> str:
-    """Write ``otgan_state-<step>.npz``; returns the (final) path."""
+    """Write ``otgan_state-<step>.npz``; returns the (final) path.
+
+    ``max_to_keep > 0`` applies the Saver-style retention policy after the
+    write — inside the writer thread when ``async_write`` is on, so pruning
+    never stalls the training loop (a caller-side ``prune_checkpoints``
+    right after an async save would join the writer and serialize the
+    whole write back onto the caller)."""
     os.makedirs(save_dir, exist_ok=True)
     wait_for_pending_saves()
     # device->host copy happens HERE, synchronously: the train steps donate
@@ -106,10 +120,20 @@ def save_checkpoint(
     def write():
         np.savez(tmp, **arrays)
         os.replace(tmp, path)
+        if max_to_keep:
+            _prune_committed(save_dir, max_to_keep, keep_every_hours)
 
     if async_write:
         global _pending_save
-        _pending_save = threading.Thread(target=write, daemon=False)
+
+        def guarded_write():
+            global _pending_error
+            try:
+                write()
+            except BaseException as e:  # surfaced at the next barrier
+                _pending_error = e
+
+        _pending_save = threading.Thread(target=guarded_write, daemon=False)
         _pending_save.start()
     else:
         write()
@@ -211,6 +235,14 @@ def prune_checkpoints(
     ``max_to_keep`` checkpoints, plus one long-term checkpoint per
     ``keep_every_hours`` window (by file mtime). Returns deleted paths."""
     wait_for_pending_saves()  # never prune around an in-flight write
+    return _prune_committed(save_dir, max_to_keep, keep_every_hours)
+
+
+def _prune_committed(
+    save_dir: str, max_to_keep: int, keep_every_hours: float
+) -> list:
+    """Retention body without the pending-save barrier (the async writer
+    thread calls this after its own write — joining itself would deadlock)."""
     deleted = []
     # drop stale atomic-write temp files (a crash mid-save leaves
     # otgan_state-<N>.npz.tmp.npz, which the bare glob would match)

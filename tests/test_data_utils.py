@@ -348,6 +348,59 @@ def test_prune_checkpoints_ignores_tmp_and_ranks_by_step(tmp_path):
     assert os.path.basename(paths[-2]) in remaining
 
 
+def test_async_save_failure_surfaces_at_barrier(tmp_path):
+    """A writer-thread failure (unwritable dir) must be raised at the next
+    wait_for_pending_saves barrier — not swallowed while train() reports
+    the checkpoint as saved."""
+    import pytest
+
+    from otgan_tpu.utils.checkpoint import (
+        save_checkpoint,
+        wait_for_pending_saves,
+    )
+
+    state = {"a": jnp.zeros((2,))}
+    # squat the final path with a non-empty directory: os.replace in the
+    # writer thread fails (works even as root, unlike permission bits)
+    squat = tmp_path / "otgan_state-0.npz"
+    (squat / "x").mkdir(parents=True)
+    save_checkpoint(str(tmp_path), state, 0, async_write=True)
+    with pytest.raises(RuntimeError, match="background checkpoint"):
+        wait_for_pending_saves()
+    # the barrier must clear the error: subsequent saves work again
+    wait_for_pending_saves()
+    p = save_checkpoint(str(tmp_path), state, 1, async_write=True)
+    wait_for_pending_saves()
+    assert os.path.exists(p)
+
+
+def test_async_save_applies_retention_in_writer(tmp_path):
+    """save_checkpoint(max_to_keep=...) prunes inside the writer thread, so
+    async saves keep the retention policy without a caller-side join."""
+    from otgan_tpu.utils.checkpoint import (
+        save_checkpoint,
+        wait_for_pending_saves,
+    )
+
+    state = {"a": jnp.zeros((2,))}
+    for i in range(6):
+        save_checkpoint(
+            str(tmp_path),
+            state,
+            i,
+            async_write=True,
+            max_to_keep=2,
+            keep_every_hours=1e9,  # only the oldest survives as an anchor
+        )
+    wait_for_pending_saves()
+    remaining = sorted(os.listdir(tmp_path))
+    assert remaining == [
+        "otgan_state-0.npz",  # long-term anchor
+        "otgan_state-4.npz",
+        "otgan_state-5.npz",
+    ]
+
+
 def test_checkpoint_bf16_slots_roundtrip_and_size(tmp_path):
     """slot_dtype="bfloat16" must ~halve the file and roundtrip EMA/opt
     slots within bf16 precision while keeping params bit-exact."""

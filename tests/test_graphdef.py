@@ -74,6 +74,27 @@ def test_float_val_fallback_and_scalar_broadcast():
     np.testing.assert_array_equal(got1["m"], np.full((2, 2), 7.5, np.float32))
 
 
+def test_non_numeric_consts_skipped():
+    """The real classify_image graph holds a DT_STRING Const
+    (``DecodeJpeg/contents``); extraction must skip it, not abort."""
+    # DT_STRING = 7; string_val is TensorProto field 8 (LEN)
+    tensor = (
+        gd._tag(1, 0) + gd._varint(7)
+        + gd._len_field(2, b"")  # scalar shape
+        + gd._len_field(8, b"\xff\xd8jpeg-bytes")
+    )
+    attr_value = gd._len_field(8, tensor)
+    entry = gd._len_field(1, b"value") + gd._len_field(2, attr_value)
+    node = (
+        gd._len_field(1, b"DecodeJpeg/contents") + gd._len_field(2, b"Const")
+        + gd._len_field(5, entry)
+    )
+    numeric = gd.encode_graphdef({"w": np.ones((3,), np.float32)})
+    got = gd.extract_constants(gd._len_field(1, node) + numeric)
+    assert set(got) == {"w"}
+    np.testing.assert_array_equal(got["w"], np.ones((3,), np.float32))
+
+
 def test_non_const_and_unknown_fields_skipped():
     consts = {"keep": np.ones((2,), np.float32)}
     pb = gd.encode_graphdef(consts)

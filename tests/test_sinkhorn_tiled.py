@@ -23,6 +23,12 @@ def test_gate():
     assert tiled_supported(256, 128)
     assert not tiled_supported(100, 128)  # panel misalignment
     assert not tiled_supported(256, 100)  # lane misalignment
+    # very wide m: even the smallest 128-row panel exceeds the VMEM
+    # budget — must route to XLA, not dispatch an over-budget kernel
+    from otgan_tpu.ops import sinkhorn_pallas_tiled as tk
+
+    assert not tiled_supported(12800, 12800)
+    assert tk._pick_panel(12800, 12800) is None
 
 
 def test_tiled_matches_xla():
