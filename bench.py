@@ -36,10 +36,13 @@ variant the remat sweep was measured at), BENCH_SMALL_BATCH
 BENCH_PARITY (default 1 on TPU: run the kernel parity cross-check),
 BENCH_REMAT (default 1: jax.checkpoint over model blocks at paper scale),
 BENCH_REMAT_POLICY (comma-separated save_point names to keep in HBM under
-remat; default "gen_g1,disc_c4,gen_g2,disc_c3" — the measured-best
-selective-remat set at batch 5120 on a 15.75 GB chip: 2363 -> 2628
-img/s/chip, +11.2% over full recompute; adding gen_g3 or disc_c2 exceeds
-HBM by ~0.5 GB. Set to "" to recompute everything / minimize memory),
+remat; default "gen_g1,disc_c4,gen_g2,disc_c3,gen_g3" — the measured-best
+selective-remat set at batch 5000 on a 15.75 GB chip: 2756 -> 2872
+img/s/chip over the previous 4-save set, unlocked by casting the image
+stacks to the compute dtype at the device boundary (engine._to_compute_
+dtype). It compiles slowly (~4 min cold: XLA schedules near the HBM
+ceiling); the 4-save set without gen_g3 compiles in ~40 s at 2804 img/s.
+disc_c2 (1.34 GB) still exceeds HBM. "" = recompute everything),
 BENCH_PROFILE_DIR (non-empty: capture a jax.profiler trace of one cycle).
 """
 
@@ -53,8 +56,8 @@ import time
 import numpy as np
 
 REF_IMG_PER_SEC_PER_GPU = 190.0  # documented estimate + sensitivity above
-# measured-best selective-remat set at batch 5120 (docstring above)
-DEFAULT_REMAT_POLICY = "gen_g1,disc_c4,gen_g2,disc_c3"
+# measured-best selective-remat set at batch 5000 (docstring above)
+DEFAULT_REMAT_POLICY = "gen_g1,disc_c4,gen_g2,disc_c3,gen_g3"
 
 
 def _remat_policy(remat: bool) -> str:
