@@ -51,6 +51,9 @@ def _load() -> Optional[ctypes.CDLL]:
                 ctypes.c_int64, ctypes.c_int, ctypes.c_int, ctypes.c_int,
                 ctypes.c_void_p, ctypes.c_int,
             ]
+            lib.otgan_assemble_batch_u8_bf16.argtypes = (
+                lib.otgan_assemble_batch_u8.argtypes
+            )
             lib.otgan_nchw_to_nhwc_u8.argtypes = [
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
                 ctypes.c_int, ctypes.c_void_p,
@@ -71,22 +74,36 @@ def assemble_batch_u8(
     indices: np.ndarray,
     flip_mask: Optional[np.ndarray],
     n_threads: int = 0,
+    out_dtype: str = "float32",
 ) -> np.ndarray:
-    """Fused gather + hflip + uint8 -> [-1, 1] float32 (NHWC)."""
+    """Fused gather + hflip + uint8 -> [-1, 1] conversion (NHWC).
+
+    ``out_dtype="bfloat16"`` emits bf16 straight from the assembly pass
+    (RNE, bit-identical to ``astype(bfloat16)`` of the float32 output) —
+    the models compute in bf16, so this skips a whole host-side float
+    pass and halves the host->device transfer."""
     assert data_u8.dtype == np.uint8 and data_u8.ndim == 4
+    bf16 = out_dtype in ("bfloat16", "bf16")
+    if not bf16 and np.dtype(out_dtype) != np.float32:
+        raise ValueError(f"unsupported out_dtype {out_dtype!r}")
     n, h, w, c = data_u8.shape
     indices = np.ascontiguousarray(indices, np.int64)
     batch = indices.shape[0]
-    out = np.empty((batch, h, w, c), np.float32)
     lib = _load()
     if lib is not None:
+        import ml_dtypes
+
+        out = np.empty(
+            (batch, h, w, c), ml_dtypes.bfloat16 if bf16 else np.float32
+        )
+        fn = lib.otgan_assemble_batch_u8_bf16 if bf16 else lib.otgan_assemble_batch_u8
         data_u8 = np.ascontiguousarray(data_u8)
         fm = (
             np.ascontiguousarray(flip_mask, np.uint8)
             if flip_mask is not None
             else None
         )
-        lib.otgan_assemble_batch_u8(
+        fn(
             data_u8.ctypes.data, indices.ctypes.data,
             fm.ctypes.data if fm is not None else None,
             batch, h, w, c, out.ctypes.data, n_threads,
@@ -97,6 +114,10 @@ def assemble_batch_u8(
     if flip_mask is not None:
         m = flip_mask.astype(bool)
         x[m] = x[m, :, ::-1, :]
+    if bf16:
+        import ml_dtypes
+
+        x = x.astype(ml_dtypes.bfloat16)
     return x
 
 

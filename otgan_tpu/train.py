@@ -169,6 +169,7 @@ def train(cfg: TrainConfig) -> TrainState:
                 labels=np.zeros((cfg.synthetic_size,), np.uint8),
                 process_index=pid,
                 process_count=pcount,
+                out_dtype=cfg.compute_dtype,
             )
         else:
             loader = DataLoader(
@@ -178,6 +179,7 @@ def train(cfg: TrainConfig) -> TrainState:
                 rng=data_rng,
                 process_index=pid,
                 process_count=pcount,
+                out_dtype=cfg.compute_dtype,
             )
         x_init = loader.init_batch()
         n_batches = loader.num_batches

@@ -4,10 +4,19 @@
 // (train.py:163-170 maybe_flip) over a float64->float32 numpy dataset. Here
 // the dataset stays uint8 in RAM (4x smaller) and batch assembly is ONE
 // fused pass: gather(indices) + optional horizontal flip + uint8->[-1,1]
-// float conversion, multithreaded across batch rows. Exposed via a C ABI
-// for ctypes (no pybind11 dependency).
+// conversion, multithreaded across batch rows. Exposed via a C ABI for
+// ctypes (no pybind11 dependency).
 //
-// Layout: dataset NHWC uint8 (n, h, w, c); output NHWC float32.
+// Output dtype is float32 OR bfloat16: the models compute in bf16
+// (engine casts inputs to the compute dtype at the device boundary), so
+// emitting bf16 straight from the assembly pass skips a whole
+// host-side float32 pass AND halves the host->device transfer. The
+// uint8 -> value mapping goes through a 256-entry lookup table (exact
+// same math, one L1 gather instead of a divide per pixel); the bf16
+// table entries are round-to-nearest-even of the float32 values, i.e.
+// bit-identical to numpy/ml_dtypes/XLA `astype(bfloat16)`.
+//
+// Layout: dataset NHWC uint8 (n, h, w, c); output NHWC f32 / bf16.
 
 #include <cstdint>
 #include <cstring>
@@ -16,53 +25,86 @@
 
 namespace {
 
-inline void convert_row_fwd(const uint8_t* src, float* dst, int64_t count) {
+inline uint16_t f32_to_bf16_rne(float f) {
+  uint32_t bits;
+  std::memcpy(&bits, &f, 4);
+  // round-to-nearest-even into the top 16 bits (values are finite)
+  bits += 0x7FFFu + ((bits >> 16) & 1u);
+  return static_cast<uint16_t>(bits >> 16);
+}
+
+template <typename T>
+struct Lut {
+  T table[256];
+};
+
+template <typename T>
+Lut<T> make_lut();
+
+template <>
+Lut<float> make_lut<float>() {
+  Lut<float> lut;
+  for (int k = 0; k < 256; ++k) {
+    lut.table[k] = static_cast<float>(k) / 127.5f - 1.0f;  // matches numpy
+  }
+  return lut;
+}
+
+template <>
+Lut<uint16_t> make_lut<uint16_t>() {
+  Lut<uint16_t> lut;
+  for (int k = 0; k < 256; ++k) {
+    lut.table[k] = f32_to_bf16_rne(static_cast<float>(k) / 127.5f - 1.0f);
+  }
+  return lut;
+}
+
+template <typename T>
+inline void convert_row_fwd(const uint8_t* src, T* dst, int64_t count,
+                            const T* lut) {
   for (int64_t i = 0; i < count; ++i) {
-    dst[i] = static_cast<float>(src[i]) / 127.5f - 1.0f;  // matches numpy
+    dst[i] = lut[src[i]];
   }
 }
 
 // flip along W for one image: rows of w pixels, c channels each
-inline void convert_image_flipped(const uint8_t* src, float* dst, int h,
-                                  int w, int c) {
+template <typename T>
+inline void convert_image_flipped(const uint8_t* src, T* dst, int h, int w,
+                                  int c, const T* lut) {
   for (int y = 0; y < h; ++y) {
     const uint8_t* srow = src + static_cast<int64_t>(y) * w * c;
-    float* drow = dst + static_cast<int64_t>(y) * w * c;
+    T* drow = dst + static_cast<int64_t>(y) * w * c;
     for (int x = 0; x < w; ++x) {
       const uint8_t* spix = srow + static_cast<int64_t>(w - 1 - x) * c;
-      float* dpix = drow + static_cast<int64_t>(x) * c;
+      T* dpix = drow + static_cast<int64_t>(x) * c;
       for (int ch = 0; ch < c; ++ch) {
-        dpix[ch] = static_cast<float>(spix[ch]) / 127.5f - 1.0f;
+        dpix[ch] = lut[spix[ch]];
       }
     }
   }
 }
 
+template <typename T>
 void assemble_range(const uint8_t* data, const int64_t* indices,
                     const uint8_t* flip_mask, int64_t begin, int64_t end,
-                    int h, int w, int c, float* out) {
+                    int h, int w, int c, T* out) {
+  static const Lut<T> lut = make_lut<T>();
   const int64_t img = static_cast<int64_t>(h) * w * c;
   for (int64_t i = begin; i < end; ++i) {
     const uint8_t* src = data + indices[i] * img;
-    float* dst = out + i * img;
+    T* dst = out + i * img;
     if (flip_mask != nullptr && flip_mask[i]) {
-      convert_image_flipped(src, dst, h, w, c);
+      convert_image_flipped(src, dst, h, w, c, lut.table);
     } else {
-      convert_row_fwd(src, dst, img);
+      convert_row_fwd(src, dst, img, lut.table);
     }
   }
 }
 
-}  // namespace
-
-extern "C" {
-
-// Fused gather + flip + normalize. data: (n_data, h, w, c) uint8 NHWC;
-// indices: (batch,) int64 into n_data; flip_mask: (batch,) uint8 or null;
-// out: (batch, h, w, c) float32. n_threads <= 0 -> hardware concurrency.
-void otgan_assemble_batch_u8(const uint8_t* data, const int64_t* indices,
-                             const uint8_t* flip_mask, int64_t batch, int h,
-                             int w, int c, float* out, int n_threads) {
+template <typename T>
+void assemble_batch(const uint8_t* data, const int64_t* indices,
+                    const uint8_t* flip_mask, int64_t batch, int h, int w,
+                    int c, T* out, int n_threads) {
   if (n_threads <= 0) {
     n_threads = static_cast<int>(std::thread::hardware_concurrency());
     if (n_threads <= 0) n_threads = 1;
@@ -77,10 +119,33 @@ void otgan_assemble_batch_u8(const uint8_t* data, const int64_t* indices,
     const int64_t b = t * chunk;
     const int64_t e = std::min<int64_t>(batch, b + chunk);
     if (b >= e) break;
-    workers.emplace_back(assemble_range, data, indices, flip_mask, b, e, h,
-                         w, c, out);
+    workers.emplace_back(assemble_range<T>, data, indices, flip_mask, b, e,
+                         h, w, c, out);
   }
   for (auto& th : workers) th.join();
+}
+
+}  // namespace
+
+extern "C" {
+
+// Fused gather + flip + normalize. data: (n_data, h, w, c) uint8 NHWC;
+// indices: (batch,) int64 into n_data; flip_mask: (batch,) uint8 or null;
+// out: (batch, h, w, c) float32. n_threads <= 0 -> hardware concurrency.
+void otgan_assemble_batch_u8(const uint8_t* data, const int64_t* indices,
+                             const uint8_t* flip_mask, int64_t batch, int h,
+                             int w, int c, float* out, int n_threads) {
+  assemble_batch(data, indices, flip_mask, batch, h, w, c, out, n_threads);
+}
+
+// Same, emitting bfloat16 (as uint16 bit patterns, RNE — bit-identical
+// to astype(bfloat16) of the float32 output).
+void otgan_assemble_batch_u8_bf16(const uint8_t* data,
+                                  const int64_t* indices,
+                                  const uint8_t* flip_mask, int64_t batch,
+                                  int h, int w, int c, uint16_t* out,
+                                  int n_threads) {
+  assemble_batch(data, indices, flip_mask, batch, h, w, c, out, n_threads);
 }
 
 // NCHW uint8 -> NHWC uint8 (dataset ingestion transpose, one pass,

@@ -37,6 +37,48 @@ def test_assemble_parity_with_numpy():
     )
 
 
+def test_assemble_bf16_bit_identical_to_cast():
+    """The native bf16 output must be bit-identical to
+    astype(bfloat16) of the float32 output (RNE) — all 256 uint8 values,
+    flipped and unflipped, and the numpy fallback path too."""
+    import ml_dtypes
+
+    # a dataset covering every uint8 value
+    data = np.arange(256, dtype=np.uint8).reshape(1, 8, 8, 4)
+    data = np.concatenate([data, data[:, :, ::-1, :]], axis=0)
+    idx = np.asarray([0, 1, 0, 1])
+    flips = np.asarray([0, 1, 1, 0], np.uint8)
+
+    f32 = native.assemble_batch_u8(data, idx, flips)
+    got = native.assemble_batch_u8(data, idx, flips, out_dtype="bfloat16")
+    assert got.dtype == ml_dtypes.bfloat16
+    np.testing.assert_array_equal(
+        got.view(np.uint16), f32.astype(ml_dtypes.bfloat16).view(np.uint16)
+    )
+
+    # numpy fallback agrees with the native kernel
+    x = data[idx].astype(np.float32) / 127.5 - 1.0
+    m = flips.astype(bool)
+    x[m] = x[m, :, ::-1, :]
+    np.testing.assert_array_equal(
+        got.view(np.uint16), x.astype(ml_dtypes.bfloat16).view(np.uint16)
+    )
+
+
+def test_dataloader_bf16_out_dtype():
+    import ml_dtypes
+
+    data = _dataset(64)
+    dl = DataLoader(
+        "", batch_size=16, data=data, out_dtype="bfloat16",
+        rng=np.random.default_rng(0),
+    )
+    assert dl.init_batch().dtype == ml_dtypes.bfloat16
+    batch = next(iter(dl))
+    assert batch.dtype == ml_dtypes.bfloat16
+    assert batch.shape == (16,) + data.shape[1:]
+
+
 def test_assemble_multithreaded_matches_single():
     data = _dataset(256)
     rng = np.random.default_rng(2)
