@@ -183,6 +183,13 @@ def _kernel_parity():
 
 
 def main():
+    from otgan_tpu.utils.compile_cache import enable_compilation_cache
+
+    # persistent compile cache (BENCH_COMPILE_CACHE_DIR="" disables): only
+    # compile time is cached — measured cycle times are unaffected
+    enable_compilation_cache(
+        os.environ.get("BENCH_COMPILE_CACHE_DIR", "~/.cache/otgan_tpu/xla")
+    )
     import jax
 
     batch = int(os.environ.get("BENCH_BATCH", "5000"))

@@ -72,6 +72,12 @@ class TrainConfig:
     # section 7 ranks the candidates by FLOPs recovered per byte.
     remat_policy: str = ""
     profile_dir: str = ""  # non-empty: write jax.profiler traces here
+    # persistent XLA compilation cache (CLI entry points only; library
+    # callers opt in via utils.compile_cache.enable_compilation_cache).
+    # Pays off hugely on remote/AOT compile services: the paper-scale
+    # 5-save-remat cycle program compiles in ~4 min cold, ~1 s warm.
+    # "" disables.
+    compilation_cache_dir: str = "~/.cache/otgan_tpu/xla"
     log_every_steps: int = 0  # 0 = log per epoch only (reference behavior)
     # CIFAR-shaped random data instead of downloading (zero-egress smoke
     # runs / benchmarking; the reference always needs the real download)

@@ -38,6 +38,9 @@ def main(argv: Optional[list] = None):
     ap.add_argument("--fid_samples", type=int, default=10000)
     args = ap.parse_args(argv)
 
+    from otgan_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache("~/.cache/otgan_tpu/xla")
     from otgan_tpu.sample import build_run_config
 
     cfg = build_run_config(args)

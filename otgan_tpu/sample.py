@@ -76,6 +76,9 @@ def main(argv=None):
     ap.add_argument("--out", default="", help="output prefix (default save_dir/samples)")
     args = ap.parse_args(argv)
 
+    from otgan_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache("~/.cache/otgan_tpu/xla")
     cfg = build_run_config(args)
     ckpt = args.checkpoint or latest_checkpoint(args.save_dir)
     if not ckpt:

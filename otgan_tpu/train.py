@@ -388,7 +388,11 @@ def _maybe_inception_eval(cfg, engine, state, logger, step_counter):
 
 
 def main(argv: Optional[list] = None):
-    train(parse_args(argv))
+    cfg = parse_args(argv)
+    from otgan_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache(cfg.compilation_cache_dir)
+    train(cfg)
 
 
 if __name__ == "__main__":

@@ -479,3 +479,25 @@ def test_checkpoint_async_write(tmp_path):
         np.asarray(got.gen_params["w"]), np.asarray(state.gen_params["w"])
     )
     assert int(np.asarray(got.step)) == 7
+
+
+def test_compilation_cache_writes_entries(tmp_path):
+    """enable_compilation_cache points jax's persistent cache at the dir;
+    a jitted computation then persists an executable there (CPU backend —
+    the TPU/axon behavior is documented in utils/compile_cache.py)."""
+    import jax
+
+    from otgan_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache("")  # no-op must not touch config
+    enable_compilation_cache(str(tmp_path))
+    try:
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        f = jax.jit(lambda a: (a * 2.000421).sum())
+        float(f(jnp.ones((64, 64))))
+        assert any(tmp_path.iterdir()), "no cache entry written"
+    finally:
+        jax.config.update("jax_compilation_cache_dir", None)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", None)
