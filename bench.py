@@ -42,7 +42,9 @@ img/s/chip over the previous 4-save set, unlocked by casting the image
 stacks to the compute dtype at the device boundary (engine._to_compute_
 dtype). It compiles slowly (~4 min cold: XLA schedules near the HBM
 ceiling); the 4-save set without gen_g3 compiles in ~40 s at 2804 img/s.
-disc_c2 (1.34 GB) still exceeds HBM. "" = recompute everything),
+disc_c2 (1.34 GB) still exceeds HBM. gen_g3 is measured OOM at 5120, so
+BENCH_BATCH > 5000 defaults to the 4-save set. "" = recompute
+everything),
 BENCH_PROFILE_DIR (non-empty: capture a jax.profiler trace of one cycle).
 """
 
@@ -56,14 +58,21 @@ import time
 import numpy as np
 
 REF_IMG_PER_SEC_PER_GPU = 190.0  # documented estimate + sensitivity above
-# measured-best selective-remat set at batch 5000 (docstring above)
+# measured-best selective-remat sets (docstring above): the 5-save set
+# fits at batch <= 5000 (with the compute-dtype boundary cast); at 5120
+# gen_g3 is measured OOM (+0.51 GB minus only ~0.19 GB freed by the
+# cast), so larger batches default to the 4-save set
 DEFAULT_REMAT_POLICY = "gen_g1,disc_c4,gen_g2,disc_c3,gen_g3"
+DEFAULT_REMAT_POLICY_LARGE = "gen_g1,disc_c4,gen_g2,disc_c3"
 
 
-def _remat_policy(remat: bool) -> str:
+def _remat_policy(remat: bool, batch: int) -> str:
     if not remat:
         return ""
-    return os.environ.get("BENCH_REMAT_POLICY", DEFAULT_REMAT_POLICY)
+    default = (
+        DEFAULT_REMAT_POLICY if batch <= 5000 else DEFAULT_REMAT_POLICY_LARGE
+    )
+    return os.environ.get("BENCH_REMAT_POLICY", default)
 
 
 def log(*a):
@@ -135,7 +144,7 @@ def _bench_throughput(batch, cycles, remat, profile_dir="", fused=True):
 
     cfg = TrainConfig(
         model="dcgan", batch_size=batch, remat=remat,
-        remat_policy=_remat_policy(remat),
+        remat_policy=_remat_policy(remat, batch),
     )
     eng = Engine(cfg)
     sec_per_cycle, per_cycle = _time_cycles(
@@ -183,12 +192,15 @@ def _kernel_parity():
 
 
 def main():
-    from otgan_tpu.utils.compile_cache import enable_compilation_cache
+    from otgan_tpu.utils.compile_cache import (
+        DEFAULT_CACHE_DIR,
+        enable_compilation_cache,
+    )
 
     # persistent compile cache (BENCH_COMPILE_CACHE_DIR="" disables): only
     # compile time is cached — measured cycle times are unaffected
     enable_compilation_cache(
-        os.environ.get("BENCH_COMPILE_CACHE_DIR", "~/.cache/otgan_tpu/xla")
+        os.environ.get("BENCH_COMPILE_CACHE_DIR", DEFAULT_CACHE_DIR)
     )
     import jax
 
@@ -224,7 +236,7 @@ def main():
         "value": round(img_per_sec, 1),
         "unit": "img/s/chip",
         "vs_baseline": round(img_per_sec / REF_IMG_PER_SEC_PER_GPU, 2),
-        "remat_policy": _remat_policy(remat),
+        "remat_policy": _remat_policy(remat, batch),
         **extra,
     }
     print(json.dumps(result))

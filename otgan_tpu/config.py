@@ -76,7 +76,9 @@ class TrainConfig:
     # callers opt in via utils.compile_cache.enable_compilation_cache).
     # Pays off hugely on remote/AOT compile services: the paper-scale
     # 5-save-remat cycle program compiles in ~4 min cold, ~1 s warm.
-    # "" disables.
+    # "" disables. (Default mirrors compile_cache.DEFAULT_CACHE_DIR;
+    # kept literal so the dataclass has no import-order dependency —
+    # test_config_cache_dir_matches_helper pins the two together.)
     compilation_cache_dir: str = "~/.cache/otgan_tpu/xla"
     log_every_steps: int = 0  # 0 = log per epoch only (reference behavior)
     # CIFAR-shaped random data instead of downloading (zero-egress smoke

@@ -162,7 +162,11 @@ class DataLoader:
         # batches are emitted in this dtype; pass the model's compute dtype
         # (bf16 default) so the fused native kernel converts uint8 -> bf16
         # in one pass — no separate host float32 pass, half the H2D bytes
-        # (the engine's boundary cast then no-ops)
+        # (the engine's boundary cast then no-ops). Only f32/bf16 emission
+        # exists; any other compute dtype (e.g. float16) falls back to f32
+        # batches and the engine's boundary cast handles the conversion
+        if out_dtype not in ("bfloat16", "bf16"):
+            out_dtype = "float32"
         self.out_dtype = out_dtype
 
     @property

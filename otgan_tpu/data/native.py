@@ -28,6 +28,41 @@ _lib_lock = threading.Lock()
 _build_failed = False
 
 
+def _build() -> None:
+    # build to a temp name + atomic rename: a fresh inode guarantees a
+    # post-rebuild dlopen maps the NEW library (an in-place overwrite of
+    # an already-dlopened path can hand back the stale mapping), and
+    # concurrent processes never observe a half-written .so
+    tmp = _SO + f".tmp{os.getpid()}"
+    subprocess.run(
+        [
+            "g++", "-O3", "-march=native", "-shared", "-fPIC",
+            "-std=c++17", "-pthread", _SRC, "-o", tmp,
+        ],
+        check=True,
+        capture_output=True,
+    )
+    os.replace(tmp, _SO)
+
+
+def _bind(lib: ctypes.CDLL) -> None:
+    """Resolve + type every entry point. AttributeError here means the .so
+    predates the current source (e.g. copied with a newer mtime than the
+    .cpp, defeating the staleness check) — the caller rebuilds."""
+    lib.otgan_assemble_batch_u8.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int64, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_int,
+    ]
+    lib.otgan_assemble_batch_u8_bf16.argtypes = (
+        lib.otgan_assemble_batch_u8.argtypes
+    )
+    lib.otgan_nchw_to_nhwc_u8.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_void_p,
+    ]
+
+
 def _load() -> Optional[ctypes.CDLL]:
     global _lib, _build_failed
     if _lib is not None or _build_failed:
@@ -37,27 +72,26 @@ def _load() -> Optional[ctypes.CDLL]:
             return _lib
         try:
             if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
-                subprocess.run(
-                    [
-                        "g++", "-O3", "-march=native", "-shared", "-fPIC",
-                        "-std=c++17", "-pthread", _SRC, "-o", _SO,
-                    ],
-                    check=True,
-                    capture_output=True,
-                )
+                _build()
             lib = ctypes.CDLL(_SO)
-            lib.otgan_assemble_batch_u8.argtypes = [
-                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-                ctypes.c_int64, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-                ctypes.c_void_p, ctypes.c_int,
-            ]
-            lib.otgan_assemble_batch_u8_bf16.argtypes = (
-                lib.otgan_assemble_batch_u8.argtypes
-            )
-            lib.otgan_nchw_to_nhwc_u8.argtypes = [
-                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
-                ctypes.c_int, ctypes.c_void_p,
-            ]
+            try:
+                _bind(lib)
+            except AttributeError:
+                # stale .so missing a symbol: force one rebuild rather
+                # than abandoning the whole native path. glibc dlopen
+                # reuses an already-loaded library BY PATH NAME, so load
+                # the fresh build through a unique alias (the mapping
+                # survives the unlink)
+                import shutil
+
+                _build()
+                alias = _SO + f".reload{os.getpid()}"
+                shutil.copy2(_SO, alias)
+                try:
+                    lib = ctypes.CDLL(alias)
+                    _bind(lib)
+                finally:
+                    os.remove(alias)
             _lib = lib
         except Exception as e:  # toolchain missing / sandboxed: fall back
             print(f"otgan_host native build unavailable ({e}); using numpy")

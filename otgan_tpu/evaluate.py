@@ -38,12 +38,17 @@ def main(argv: Optional[list] = None):
     ap.add_argument("--fid_samples", type=int, default=10000)
     args = ap.parse_args(argv)
 
-    from otgan_tpu.utils.compile_cache import enable_compilation_cache
-
-    enable_compilation_cache("~/.cache/otgan_tpu/xla")
+    from otgan_tpu.utils.compile_cache import (
+        DEFAULT_CACHE_DIR,
+        enable_compilation_cache,
+    )
     from otgan_tpu.sample import build_run_config
 
     cfg = build_run_config(args)
+    # honor the run's own setting (pre-field config.json -> the default)
+    enable_compilation_cache(
+        getattr(cfg, "compilation_cache_dir", DEFAULT_CACHE_DIR)
+    )
     ckpt = args.checkpoint or latest_checkpoint(args.save_dir)
     if not ckpt:
         raise FileNotFoundError(f"no checkpoint found in {args.save_dir}")

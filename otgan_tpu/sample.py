@@ -76,10 +76,17 @@ def main(argv=None):
     ap.add_argument("--out", default="", help="output prefix (default save_dir/samples)")
     args = ap.parse_args(argv)
 
-    from otgan_tpu.utils.compile_cache import enable_compilation_cache
+    from otgan_tpu.utils.compile_cache import (
+        DEFAULT_CACHE_DIR,
+        enable_compilation_cache,
+    )
 
-    enable_compilation_cache("~/.cache/otgan_tpu/xla")
     cfg = build_run_config(args)
+    # honor the run's own setting (e.g. trained with the cache disabled);
+    # pre-diff config.json files lack the field -> the default
+    enable_compilation_cache(
+        getattr(cfg, "compilation_cache_dir", DEFAULT_CACHE_DIR)
+    )
     ckpt = args.checkpoint or latest_checkpoint(args.save_dir)
     if not ckpt:
         raise FileNotFoundError(f"no checkpoint found in {args.save_dir}")

@@ -23,6 +23,11 @@ from __future__ import annotations
 
 import os
 
+# the one definition of the default cache location (config.py's field
+# default, bench.py's env fallback, and the sample/evaluate CLIs all
+# reference this — a drifting copy would silently split the cache)
+DEFAULT_CACHE_DIR = "~/.cache/otgan_tpu/xla"
+
 
 def enable_compilation_cache(cache_dir: str) -> None:
     """Point jax's persistent compilation cache at ``cache_dir`` (expanded;

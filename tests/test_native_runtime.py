@@ -1,6 +1,8 @@
 """Native host-pipeline kernels (runtime/otgan_host.cpp): build via ctypes,
 bit-exact parity with the numpy path, and DataLoader integration."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -63,6 +65,48 @@ def test_assemble_bf16_bit_identical_to_cast():
     np.testing.assert_array_equal(
         got.view(np.uint16), x.astype(ml_dtypes.bfloat16).view(np.uint16)
     )
+
+
+def test_stale_so_missing_symbol_triggers_rebuild(tmp_path, monkeypatch):
+    """A prebuilt .so that passes the mtime check but lacks a symbol (e.g.
+    copied with preserved mtimes from before the bf16 entry point) must
+    force a rebuild, not silently abandon the whole native path."""
+    import subprocess
+
+    # an old-API library: only the f32 entry points
+    src = tmp_path / "old.cpp"
+    src.write_text(
+        'extern "C" {\n'
+        "void otgan_assemble_batch_u8() {}\n"
+        "void otgan_nchw_to_nhwc_u8() {}\n"
+        "}\n"
+    )
+    stale = tmp_path / "libotgan_host.so"
+    subprocess.run(
+        ["g++", "-shared", "-fPIC", str(src), "-o", str(stale)], check=True
+    )
+    future = os.path.getmtime(native._SRC) + 10
+    os.utime(stale, (future, future))
+
+    monkeypatch.setattr(native, "_SO", str(stale))
+    monkeypatch.setattr(native, "_lib", None)
+    monkeypatch.setattr(native, "_build_failed", False)
+    lib = native._load()
+    assert lib is not None, "rebuild after missing symbol failed"
+    assert hasattr(lib, "otgan_assemble_batch_u8_bf16")
+
+
+def test_dataloader_unsupported_dtype_falls_back_to_f32():
+    """compute dtypes without a native emission path (e.g. float16) fall
+    back to float32 batches (the engine's boundary cast converts later)
+    instead of crashing in assemble_batch_u8."""
+    data = _dataset(32)
+    dl = DataLoader(
+        "", batch_size=8, data=data, out_dtype="float16",
+        rng=np.random.default_rng(0),
+    )
+    assert dl.init_batch().dtype == np.float32
+    assert next(iter(dl)).dtype == np.float32
 
 
 def test_dataloader_bf16_out_dtype():
