@@ -55,6 +55,13 @@ class TrainConfig:
     # (g=1, b=0; its init-pass assigns never run, SURVEY.md 3.1 step 8).
     # The toy pipeline uses plain init (notebook xavier), see engine.
     data_dependent_init: bool = True
+    # examples used for the data-dependent init pass (0 = the full
+    # batch_size, the reference's behavior). The init forward holds every
+    # activation at once with no remat, so it OOMs before training does —
+    # DenseNet's multi-res generator needs 23.7 GB at batch 1024
+    # (REHEARSAL.md); init statistics over a few hundred samples are
+    # equivalent. Must be divisible by the device count on a mesh.
+    init_batch_size: int = 0
     # model matmul/conv compute dtype ("bfloat16" = 4x f32 MXU rate, f32
     # accumulation; params, losses, and ALL matching/Sinkhorn math stay f32)
     compute_dtype: str = "bfloat16"

@@ -211,10 +211,11 @@ class DataLoader:
             return x.astype(ml_dtypes.bfloat16)
         return x
 
-    def init_batch(self) -> np.ndarray:
-        """First ``batch_size`` examples, unshuffled and unaugmented — for
-        data-dependent init; consumes no RNG and starts no threads."""
-        idx = np.arange(self.batch_size)
+    def init_batch(self, n: Optional[int] = None) -> np.ndarray:
+        """First ``n`` (default ``batch_size``) examples, unshuffled and
+        unaugmented — for data-dependent init; consumes no RNG and starts
+        no threads."""
+        idx = np.arange(min(n or self.batch_size, self.data.shape[0]))
         if self._u8:
             from otgan_tpu.data import native as native_mod
 

@@ -144,7 +144,9 @@ def train(cfg: TrainConfig) -> TrainState:
         cfg.seed if pcount == 1 else (cfg.seed, pid)
     )
     if is_toy:
-        x_init = sample_8gaussians(data_rng, local_batch)
+        x_init = sample_8gaussians(
+            data_rng, cfg.init_batch_size or local_batch
+        )
         # ~40000/512, one notebook "epoch"; env override for fast harness
         # runs (e.g. the 2-process multihost test)
         n_batches = int(os.environ.get("OTGAN_TOY_EPOCH_BATCHES", "78"))
@@ -181,7 +183,9 @@ def train(cfg: TrainConfig) -> TrainState:
                 process_count=pcount,
                 out_dtype=cfg.compute_dtype,
             )
-        x_init = loader.init_batch()
+        # init pass on a (possibly smaller) prefix: the init forward has
+        # no remat and OOMs long before training does on deep families
+        x_init = loader.init_batch(cfg.init_batch_size or None)
         n_batches = loader.num_batches
 
     # ---- init / resume ----

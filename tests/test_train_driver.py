@@ -199,3 +199,30 @@ def test_evaluate_cli(tmp_path, monkeypatch):
         ]
     )
     assert res["inception_score"] == 5.5 and res["num_samples"] == 128
+
+
+def test_train_with_smaller_init_batch(tmp_path):
+    """--init_batch_size runs the data-dependent init pass on a prefix of
+    the batch (the init forward has no remat and OOMs before training does
+    on deep families, REHEARSAL.md); training then proceeds at full batch."""
+    from otgan_tpu.train import train
+
+    cfg = TrainConfig(
+        model="densenet",  # the family whose init pass OOMs first
+        layers_per_block=2,
+        filters_per_layer=8,
+        synthetic_data=True,
+        synthetic_size=32,
+        batch_size=16,
+        init_batch_size=8,
+        nr_sinkhorn_iter=5,
+        sinkhorn_lambda=50.0,
+        max_epochs=1,
+        save_every_epochs=100,
+        save_dir=str(tmp_path),
+        use_pallas=False,
+    )
+    state = train(cfg)
+    assert int(np.asarray(state.step)) == 2  # 32/16 steps at FULL batch
+    recs = [json.loads(l) for l in open(os.path.join(tmp_path, "metrics.jsonl"))]
+    assert np.isfinite([r for r in recs if "epoch" in r][-1]["dist_gen"])
