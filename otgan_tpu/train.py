@@ -137,6 +137,20 @@ def train(cfg: TrainConfig) -> TrainState:
         f"global batch: {cfg.batch_size}"
         + (f"; process {pid}/{pcount} (local batch {local_batch})" if pcount > 1 else "")
     )
+    if not cfg.remat and jax.default_backend() == "tpu":
+        # measured no-remat compile-OOM boundaries on a 15.75 GB chip
+        # (DESIGN.md section 7, REHEARSAL.md): DCGAN fails at per-chip
+        # batch 5120; DenseNet fails already at 256. Warn BEFORE the
+        # multi-minute compile so the user isn't surprised by the OOM.
+        per_chip = cfg.batch_size // max(len(engine.mesh.devices.flat), 1)
+        limit = 128 if cfg.model == "densenet" else 2048
+        if per_chip > limit and is_chief:
+            print(
+                f"WARNING: per-chip batch {per_chip} without --remat is "
+                "likely to exceed HBM at compile for this model family "
+                "(measured boundaries in docs/REHEARSAL.md); pass --remat "
+                "(and see --remat_policy for the fast selective sets)"
+            )
 
     # ---- data (multi-process: each host feeds a disjoint slice) ----
     is_toy = cfg.model == "toy_mlp"
