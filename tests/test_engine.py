@@ -235,17 +235,18 @@ def test_disc_freeze_after_steps():
     assert int(np.asarray(state.step)) == 8
 
 
-def test_indivisible_batch_falls_back_to_global_matcher():
+def test_indivisible_batch_runs_row_sharded():
     """The reference's own train.py default (global 5000 on 8 devices) is
-    not divisible by 2*n_devices — the engine must warn and use the GSPMD
-    global matcher instead of raising at the first step."""
-    import warnings
-
+    not divisible by 2*n_devices — since round 3 the engine keeps the
+    row-sharded matcher (padded-halves path) instead of falling back to the
+    GSPMD global matcher, and records the dispatch in ``matcher_desc``."""
     cfg = _toy_cfg(batch_size=40)  # 40 % 16 != 0 on the 8-device mesh
-    with warnings.catch_warnings(record=True) as w:
-        warnings.simplefilter("always")
-        eng = Engine(cfg)
-    assert any("GSPMD global matcher" in str(x.message) for x in w)
+    eng = Engine(cfg)
+    assert "padded halves" in eng.matcher_desc, eng.matcher_desc
     state, _ = eng.init_state(0, eng.shard(_data(0, 40)))
     state, met = eng.gen_step(state, eng.shard(_data(1, 40)))
     assert np.isfinite(float(met.dist))
+
+    # divisible batches keep the zero-copy whole-halves convention
+    eng2 = Engine(_toy_cfg(batch_size=32))
+    assert "whole local halves" in eng2.matcher_desc, eng2.matcher_desc
