@@ -143,6 +143,12 @@ class DataLoader:
                 self._u8 = True
             else:
                 data = to_nhwc_float(raw)
+        # dataset size BEFORE process sharding: multi-host callers derive a
+        # common per-epoch batch count from it (shard sizes differ by one
+        # row when global_rows % process_count != 0; every process must
+        # still issue the same number of collective steps)
+        self.global_rows = data.shape[0]
+        self.process_count = process_count
         if process_count > 1:
             data = data[process_index::process_count]
             if labels is not None:
@@ -171,7 +177,18 @@ class DataLoader:
 
     @property
     def num_batches(self) -> int:
+        """Whole batches in THIS process's shard. Multi-host drivers must
+        use :attr:`common_num_batches` so every process issues the same
+        number of collective steps per epoch."""
         return self.data.shape[0] // self.batch_size
+
+    @property
+    def common_num_batches(self) -> int:
+        """Per-epoch batch count guaranteed identical on every process:
+        computed from the SMALLEST shard (floor(global/process_count)), not
+        the local one — uneven shards otherwise disagree by one batch and
+        the pod deadlocks mid-epoch."""
+        return (self.global_rows // self.process_count) // self.batch_size
 
     def observation_size(self):
         return self.data.shape[1:]
@@ -214,8 +231,18 @@ class DataLoader:
     def init_batch(self, n: Optional[int] = None) -> np.ndarray:
         """First ``n`` (default ``batch_size``) examples, unshuffled and
         unaugmented — for data-dependent init; consumes no RNG and starts
-        no threads."""
-        idx = np.arange(min(n or self.batch_size, self.data.shape[0]))
+        no threads. Raises when ``n`` exceeds this process's shard: a
+        silent clamp would give multi-host processes DIFFERENT local init
+        shapes, making the inferred global shape inconsistent (crash/hang
+        in ``make_array_from_process_local_data``)."""
+        n = n or self.batch_size
+        if n > self.data.shape[0]:
+            raise ValueError(
+                f"init_batch({n}) exceeds this process's {self.data.shape[0]}"
+                " data rows — lower --init_batch_size (or --batch_size), or"
+                " use fewer processes"
+            )
+        idx = np.arange(n)
         if self._u8:
             from otgan_tpu.data import native as native_mod
 
@@ -225,9 +252,14 @@ class DataLoader:
         return self._cast(self.data[idx].copy())
 
     def epoch(self) -> Iterator[np.ndarray]:
-        """One pass over the data with background batch assembly."""
+        """One pass over the data with background batch assembly.
+
+        Emits :attr:`common_num_batches` batches (== :attr:`num_batches`
+        single-process): in a pod every process must issue the same number
+        of collective steps per epoch even when shard sizes differ by one
+        row (dataset size not divisible by the process count)."""
         inds = self._epoch_indices()
-        nb = self.num_batches
+        nb = self.common_num_batches
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
 

@@ -217,6 +217,16 @@ def latest_checkpoint(save_dir: str) -> Optional[str]:
 def checkpoint_step(path: str) -> int:
     base = os.path.basename(os.path.normpath(path))
     if os.path.isdir(path) and base.isdigit():
+        # a digit-named directory is only a checkpoint when it is an orbax
+        # step dir (<save_dir>/orbax/<step>) — the same structure check
+        # restore_checkpoint enforces; a stray digit-named directory passed
+        # as --model_name must error, not parse to a bogus resume step
+        parent = os.path.basename(os.path.dirname(os.path.normpath(path)))
+        if parent != "orbax":
+            raise ValueError(
+                f"not a checkpoint path: {path} (digit-named directories "
+                "are checkpoints only under <save_dir>/orbax/)"
+            )
         return int(base)
     m = re.search(rf"{_PREFIX}-(\d+)\.npz$", path)
     if not m:

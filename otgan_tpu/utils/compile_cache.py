@@ -21,6 +21,7 @@ Library callers are NOT affected implicitly (process-global config): call
 
 from __future__ import annotations
 
+import logging
 import os
 
 # the one definition of the default cache location (config.py's field
@@ -40,3 +41,70 @@ def enable_compilation_cache(cache_dir: str) -> None:
     jax.config.update(
         "jax_compilation_cache_dir", os.path.expanduser(cache_dir)
     )
+
+
+class CacheTelemetry(logging.Handler):
+    """Per-program persistent-cache observability (round-3 triage item).
+
+    jax reports cache traffic three ways, none surfaced by default:
+    hits/misses via ``log_persistent_cache_hit/miss`` (DEBUG-level unless
+    opt-in flags are set) and put-failures as a ``UserWarning`` ("Error
+    writing persistent compilation cache entry…"). Installation wraps the
+    two log helpers to record program names WITHOUT lowering jax's logger
+    to DEBUG (that would spray unrelated compiler debug output on stderr),
+    and listens on ``py.warnings`` for the put-error warning. The CLI
+    drivers and ``bench.py`` use the summary to state per program whether
+    the big compiles (e.g. the ~4-min paper-scale 5-save cycle program)
+    were served from cache, and to flag write errors that would silently
+    re-pay that compile next launch.
+    """
+
+    def __init__(self):
+        super().__init__(level=logging.DEBUG)
+        self.hits: list[str] = []
+        self.misses: list[str] = []
+        self.put_errors: list[str] = []
+
+    def emit(self, record: logging.LogRecord) -> None:  # pragma: no cover
+        try:
+            msg = record.getMessage()
+            if "Error writing persistent compilation cache entry" in msg:
+                self.put_errors.append(msg)
+        except Exception:
+            pass
+
+    def summary(self) -> dict:
+        return {
+            "cache_hits": sorted(set(self.hits)),
+            "cache_misses": sorted(set(self.misses)),
+            "cache_put_errors": len(self.put_errors),
+        }
+
+
+def install_cache_telemetry() -> CacheTelemetry:
+    """Install a :class:`CacheTelemetry`: wraps
+    ``jax._src.compiler.log_persistent_cache_hit/miss`` with recording
+    pass-throughs and routes the cache-put ``UserWarning`` through logging
+    (``logging.captureWarnings``) onto a ``py.warnings`` handler. CLI-process
+    use only (process-global side effects). Idempotent per process is NOT
+    guaranteed — call once."""
+    h = CacheTelemetry()
+    from jax._src import compiler as _compiler
+
+    orig_hit = _compiler.log_persistent_cache_hit
+    orig_miss = _compiler.log_persistent_cache_miss
+
+    def hit(module_name, *a, **kw):
+        h.hits.append(str(module_name))
+        return orig_hit(module_name, *a, **kw)
+
+    def miss(module_name, *a, **kw):
+        h.misses.append(str(module_name))
+        return orig_miss(module_name, *a, **kw)
+
+    _compiler.log_persistent_cache_hit = hit
+    _compiler.log_persistent_cache_miss = miss
+
+    logging.getLogger("py.warnings").addHandler(h)
+    logging.captureWarnings(True)
+    return h

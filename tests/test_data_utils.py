@@ -498,6 +498,57 @@ def test_compilation_cache_writes_entries(tmp_path):
         float(f(jnp.ones((64, 64))))
         assert any(tmp_path.iterdir()), "no cache entry written"
     finally:
+        # Restore the REAL defaults (min_entry_size default is 0, NOT None:
+        # restoring None made every later same-process compile warn
+        # "TypeError: '<' not supported between 'int' and 'NoneType'" from
+        # jax's cache-put path — 55 warnings across the round-2 suite), and
+        # unlatch the cache machinery so later compiles don't attempt puts
+        # against the now-dead directory config.
         jax.config.update("jax_compilation_cache_dir", None)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", None)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        from jax._src import compilation_cache as _cc
+
+        _cc.reset_cache()
+
+
+def test_cache_telemetry_records_hits_and_misses(tmp_path):
+    """install_cache_telemetry must see the persistent-cache MISS of a first
+    compile and the HIT when a second, separately-jitted but byte-identical
+    program compiles (how bench.py states whether the paper-scale cycle
+    program was served from cache)."""
+    import logging
+
+    import jax
+
+    from otgan_tpu.utils.compile_cache import (
+        enable_compilation_cache,
+        install_cache_telemetry,
+    )
+
+    enable_compilation_cache(str(tmp_path))
+    tel = install_cache_telemetry()
+    try:
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+        def body(a):
+            return (a * 3.14159 + 0.577).sum()
+
+        float(jax.jit(body)(jnp.ones((32, 32))))
+        assert any("jit_body" in n for n in tel.misses), tel.misses
+        # drop the in-memory executable caches so the byte-identical
+        # program must come back from the persistent cache
+        jax.clear_caches()
+        float(jax.jit(body)(jnp.ones((32, 32))))
+        assert any("jit_body" in n for n in tel.hits), tel.hits
+        s = tel.summary()
+        assert s["cache_put_errors"] == 0
+    finally:
+        jax.config.update("jax_compilation_cache_dir", None)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        from jax._src import compilation_cache as _cc
+
+        _cc.reset_cache()
+        logging.captureWarnings(False)
+        for name in ("jax._src.compiler", "py.warnings"):
+            logging.getLogger(name).removeHandler(tel)

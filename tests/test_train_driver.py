@@ -133,6 +133,9 @@ def test_sample_cli(tmp_path):
         save_every_epochs=2,
         save_dir=str(tmp_path),
         use_pallas=False,
+        # the sampling CLI enables the cache dir persisted in config.json —
+        # pin it to tmp so CI never writes the user-global cache
+        compilation_cache_dir=str(tmp_path / "xla_cache"),
     )
     train(cfg)
     x = sample_main(
@@ -178,6 +181,9 @@ def test_evaluate_cli(tmp_path, monkeypatch):
         save_every_epochs=2,
         save_dir=str(tmp_path),
         use_pallas=False,
+        # the evaluate CLI enables the cache dir persisted in config.json —
+        # pin it to tmp so CI never writes the user-global cache
+        compilation_cache_dir=str(tmp_path / "xla_cache"),
     )
     train(cfg)
 
