@@ -235,3 +235,51 @@ def test_legacy_resize_matches_numpy_reference():
             bot = x[:, y1, x0] + (x[:, y1, x1] - x[:, y1, x0]) * fx
             want[:, i, j] = top + (bot - top) * fy
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_conversion_day_full_pipeline_cli_to_score(tmp_path, monkeypatch):
+    """Conversion-day dry run (VERDICT r2 next-round #8): the EXACT command
+    sequence the real classify_image_graph_def.pb will go through, with no
+    mocked stages — converter CLI (incl. sha256 pinning) -> npz ->
+    load_params (env discovery, variant detection) -> get_inception_score
+    on a fixed image batch through the full 1008-class tf2015 network.
+    Only the weights are synthetic (zero-egress env) and the eval batch is
+    shrunk — both size knobs, not semantics."""
+    import hashlib
+
+    from otgan_tpu.eval import inception as inc
+    from otgan_tpu.eval.convert_tf2015_inception import main as convert_cli
+
+    rng = np.random.default_rng(6)
+    consts = _synth_tf2015_consts(rng)
+    pb_path = tmp_path / "classify_image_graph_def.pb"
+    raw = gd.encode_graphdef(consts)
+    pb_path.write_bytes(raw)
+    digest = hashlib.sha256(raw).hexdigest()
+
+    out = tmp_path / "inception_tf2015.npz"
+    convert_cli(
+        [
+            "--pb", str(pb_path),
+            "--out", str(out),
+            "--expect_sha256", digest,  # the pinning path, passing
+        ]
+    )
+    assert out.exists()
+
+    monkeypatch.setattr(inc, "_params_cache", None)
+    monkeypatch.setattr(inc, "_variant_cache", "torchvision")
+    monkeypatch.setenv("OTGAN_INCEPTION_WEIGHTS", str(out))
+    monkeypatch.setattr(inc, "_BATCH", 4)
+
+    images = np.random.default_rng(7).integers(
+        0, 256, (4, 32, 32, 3)
+    ).astype(np.float32)
+    mean, std = inc.get_inception_score(images, splits=2)
+    assert np.isfinite(mean) and np.isfinite(std)
+    # IS is bounded by exp(log n_classes) = 1008 and >= 1 by Jensen
+    assert 1.0 <= mean <= 1008.0
+    assert inc.get_variant() == "tf2015"  # detected from the npz, not set
+
+    monkeypatch.setattr(inc, "_params_cache", None)
+    monkeypatch.setattr(inc, "_variant_cache", "torchvision")

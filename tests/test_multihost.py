@@ -23,12 +23,15 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _launch(pid: int, port: int, save_dir: str, extra: list) -> subprocess.Popen:
+def _launch(
+    pid: int, port: int, save_dir: str, extra: list, pre: str = ""
+) -> subprocess.Popen:
     # in-process CPU forcing (the axon sitecustomize force-registers the
     # TPU platform; env alone is not enough — CLAUDE.md)
     code = (
         "import jax; jax.config.update('jax_platforms', 'cpu');"
-        "from otgan_tpu.train import main; main("
+        + pre
+        + "from otgan_tpu.train import main; main("
         f"{extra + ['--process_id', str(pid)]!r})"
     )
     env = dict(
@@ -106,3 +109,65 @@ def test_two_process_toy_train(tmp_path):
         assert p.returncode == 0, f"resume process {i} failed:\n{out[-4000:]}"
     for out in outs:
         assert "resuming at epoch 2" in out  # both restored the same step
+
+
+def test_two_process_inception_eval(tmp_path):
+    """_maybe_inception_eval in the pod harness (VERDICT r2 next-round #7):
+    every process must participate in the jitted sampling + classification
+    (SPMD over the global mesh — a chief-only eval would deadlock the
+    collectives), and only process 0 logs the scores. Inception weights are
+    monkeypatched to tiny random params in each subprocess (zero-egress
+    env), exactly like tests/test_inception.py does in-process."""
+    port = _free_port()
+    save_dir = str(tmp_path / "run")
+    # LAZY weight injection: init_params touches jax, which must not
+    # initialize the backend before jax.distributed.initialize runs inside
+    # train() — so load_params builds the random params on first call
+    pre = (
+        "import numpy as _np;"
+        "import otgan_tpu.eval.inception as _inc;"
+        "from otgan_tpu.eval import inception_net as _inet;"
+        "_inc._variant_cache = 'torchvision';"
+        "_inc._BATCH = 2;"
+        "_inc.load_params = lambda path=None: _inc.__dict__.setdefault("
+        "'_lazy_p', _inet.init_params(_np.random.default_rng(0),"
+        " num_classes=8));"
+    )
+    args = [
+        "--model", "densenet",
+        "--layers_per_block", "1",
+        "--filters_per_layer", "4",
+        "--synthetic_data",
+        "--synthetic_size", "16",
+        "--batch_size", "8",  # GLOBAL; 4 per process
+        "--sinkhorn_lambda", "50.0",
+        "--nr_sinkhorn_iter", "5",
+        "--max_epochs", "2",
+        "--eval_every_epochs", "2",  # fires at epoch 1
+        "--inception_samples", "4",
+        "--inception_splits", "2",
+        "--save_every_epochs", "100",
+        "--save_dir", save_dir,
+        "--no_use_pallas",
+        "--checkpoint_backend", "orbax",
+        "--multihost",
+        "--coordinator_address", f"127.0.0.1:{port}",
+        "--num_processes", "2",
+    ]
+    procs = [_launch(i, port, save_dir, args, pre=pre) for i in range(2)]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=560)
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {i} failed:\n{out[-4000:]}"
+
+    # chief-only score logging: raw + EMA scores in the metrics JSONL
+    recs = [
+        json.loads(l) for l in open(os.path.join(save_dir, "metrics.jsonl"))
+    ]
+    scored = [r for r in recs if "inception_score" in r]
+    ema_scored = [r for r in recs if "ema_inception_score" in r]
+    assert len(scored) == 1 and len(ema_scored) == 1, recs
+    assert np.isfinite(scored[0]["inception_score"])
+    assert 1.0 <= scored[0]["inception_score"] <= 8.0  # bounded by classes
