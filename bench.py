@@ -45,7 +45,14 @@ ceiling); the 4-save set without gen_g3 compiles in ~40 s at 2804 img/s.
 disc_c2 (1.34 GB) still exceeds HBM. gen_g3 is measured OOM at 5120, so
 BENCH_BATCH > 5000 defaults to the 4-save set. "" = recompute
 everything),
-BENCH_PROFILE_DIR (non-empty: capture a jax.profiler trace of one cycle).
+BENCH_PROFILE_DIR (non-empty: capture a jax.profiler trace of one cycle),
+BENCH_DENSENET (default 1 on TPU: also time the DenseNet family,
+reference --model densenet, train.py:29,38-41), BENCH_DENSENET_BATCH
+(default 256 — the measured single-chip feasible batch; 512 exceeds the
+compile footprint, docs/BACKLOG.md), BENCH_DENSENET_POLICY (default ""
+= full remat: save-policy DenseNet programs crash the remote compile
+helper, consistent with the measured 16.4->25.4 G per-segment-remat
+footprint blowup; r03 measured 707.8 img/s/chip at 256/"").
 """
 
 from __future__ import annotations

@@ -46,6 +46,12 @@ class TrainConfig:
     save_every_epochs: int = 200  # checkpoint cadence, train.py:275
     inception_samples: int = 50000  # train.py:183
     inception_splits: int = 10
+    # classifier batch for the eval pass. 100 = the reference protocol
+    # (utils/inception.py:34); per-image probabilities are batch-invariant
+    # so larger batches only amortize dispatch/transfer (measured: 50k
+    # samples 42 s at 100 vs 32 s at 500 on one v5e chip). 0 = keep the
+    # module default / OTGAN_INCEPTION_BATCH env.
+    inception_batch: int = 0
     # ---- densenet options (models/densenet.py:7) ----
     layers_per_block: int = 16
     filters_per_layer: int = 16

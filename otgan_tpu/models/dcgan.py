@@ -29,24 +29,39 @@ from otgan_tpu.nn.layers import (
     glu,
     l2_normalize_rows,
     save_point,
+    save_point_half,
 )
 
 LATENT_DIM = 100
 
 
-def disc_spec(scope: Scope, x: jax.Array, nonlinearity: str = "crelu"):
+def disc_spec(
+    scope: Scope,
+    x: jax.Array,
+    nonlinearity: str = "crelu",
+    half_c2: bool = False,
+):
     # save_point tags: selective-remat boundaries (inert without a
     # remat_policy). Per-byte recompute value rises with depth: conv4's
     # 4x4x1024 output costs ~0.84 GFLOP/img to rebuild per 168 MB saved
     # at batch 5120 (docs/DESIGN.md section 7).
     x = conv2d(scope, x, 128, filter_size=(5, 5), pre_activation=None)
+    # disc_c2 is the one save measured OOM at paper scale (1.34 GB on top
+    # of the 5-save set); disc_c2_half is the half-granularity experiment,
+    # MEASURED WORSE (the backward concat rebuild adds ~1.5 GB transient —
+    # docs/DESIGN.md section 7, phase-3 table). The slice+concat wrapper is
+    # only emitted when the policy names it: even policy-inert, its ops
+    # shift XLA's scheduling enough to push the 5-save program 79 MB over
+    # HBM (measured this round).
     x = save_point(
         conv2d(
-            scope, x, 256, filter_size=(5, 5), pre_activation=nonlinearity,
-            stride=(2, 2),
+            scope, x, 256, filter_size=(5, 5),
+            pre_activation=nonlinearity, stride=(2, 2),
         ),
         "disc_c2",
     )
+    if half_c2:
+        x = save_point_half(x, "disc_c2_half")
     x = save_point(
         conv2d(
             scope, x, 512, filter_size=(5, 5), pre_activation=nonlinearity,
@@ -110,8 +125,9 @@ def make_discriminator(
     compute_dtype="float32",
     remat_policy: str = "",
 ):
+    half_c2 = "disc_c2_half" in remat_policy
     return Module(
-        lambda scope, x: disc_spec(scope, x, nonlinearity),
+        lambda scope, x: disc_spec(scope, x, nonlinearity, half_c2=half_c2),
         remat=remat,
         compute_dtype=compute_dtype,
         remat_policy=remat_policy,

@@ -9,6 +9,7 @@ from otgan_tpu.nn.layers import (
     glu,
     l2_normalize_rows,
     save_point,
+    save_point_half,
 )
 from otgan_tpu.nn.optim import (
     adam_init,

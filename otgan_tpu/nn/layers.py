@@ -424,3 +424,18 @@ def save_point(x: Array, name: str) -> Array:
     the selective counterpart of the reference's (disabled) whole-function
     recompute scaffold (``utils/nn.py:186-309``)."""
     return checkpoint_name(x, name)
+
+
+def save_point_half(x: Array, name: str, axis: int = -1) -> Array:
+    """Half-granularity save point: tag only the FIRST half of ``x`` along
+    ``axis`` as ``name`` (backward-phase-3 experiment, docs/DESIGN.md
+    section 7). Under a policy listing ``name``, the forward stores half
+    the bytes of a full ``save_point`` and the backward recomputes only the
+    untagged half — useful when the full activation does not fit HBM
+    (e.g. disc_c2 at paper scale). Whether the recompute actually narrows
+    to the missing half depends on XLA slicing the producing op; measure,
+    don't assume. Identity when no policy lists ``name``."""
+    n = x.shape[axis] // 2
+    lo = jax.lax.slice_in_dim(x, 0, n, axis=axis)
+    hi = jax.lax.slice_in_dim(x, n, x.shape[axis], axis=axis)
+    return jnp.concatenate([checkpoint_name(lo, name), hi], axis=axis)

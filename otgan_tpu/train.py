@@ -397,6 +397,12 @@ def _maybe_inception_eval(cfg, engine, state, logger, step_counter):
     except FileNotFoundError as e:
         print(f"inception weights unavailable, skipping eval: {e}")
         return
+    if cfg.inception_batch:
+        # larger classifier batches amortize dispatch/transfer without
+        # changing the score (per-image probabilities are batch-invariant)
+        import otgan_tpu.eval.inception as _inc
+
+        _inc._BATCH = cfg.inception_batch
     for ema in (False, True):
         # generation + classification run fused on-device; only the class
         # probabilities come to the host (the reference round-trips all

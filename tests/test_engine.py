@@ -250,3 +250,37 @@ def test_indivisible_batch_runs_row_sharded():
     # divisible batches keep the zero-copy whole-halves convention
     eng2 = Engine(_toy_cfg(batch_size=32))
     assert "whole local halves" in eng2.matcher_desc, eng2.matcher_desc
+
+
+def test_half_save_policy_is_exact():
+    """save_point_half (disc_c2_half): the half-granularity save must be
+    numerically identical to full recompute and to the full-tensor save —
+    remat policies change scheduling, never math. Module-level (the full
+    engine variant is too heavy for the 1-core CPU suite)."""
+    from otgan_tpu.models import dcgan
+
+    x0 = jnp.asarray(
+        np.random.default_rng(0).uniform(-1, 1, (4, 32, 32, 3)),
+        jnp.float32,
+    )
+    seed = jnp.asarray(
+        np.random.default_rng(2).uniform(-1, 1, (4, 32768)), jnp.float32
+    )
+    grads = []
+    for kw in (
+        dict(remat=False),
+        dict(remat=True, remat_policy="disc_c2_half"),
+        dict(remat=True, remat_policy="disc_c2"),
+    ):
+        disc = dcgan.make_discriminator(**kw)
+        params, _ = jax.jit(
+            lambda k, x: disc.init(k, x, data_dependent=False)
+        )(jax.random.PRNGKey(0), x0)
+
+        def loss(p):
+            return jnp.sum(disc.apply(p, x0) * seed)
+
+        grads.append(jax.tree.leaves(jax.jit(jax.grad(loss))(params)))
+    for a, b, c in zip(*grads):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=1e-6)

@@ -232,3 +232,9 @@ def test_train_with_smaller_init_batch(tmp_path):
     assert int(np.asarray(state.step)) == 2  # 32/16 steps at FULL batch
     recs = [json.loads(l) for l in open(os.path.join(tmp_path, "metrics.jsonl"))]
     assert np.isfinite([r for r in recs if "epoch" in r][-1]["dist_gen"])
+
+
+def test_inception_batch_flag():
+    cfg = parse_args(["--inception_batch", "500"])
+    assert cfg.inception_batch == 500
+    assert parse_args([]).inception_batch == 0  # module default preserved
