@@ -231,6 +231,8 @@ def train(cfg: TrainConfig) -> TrainState:
     # per-run record of which matcher path engages (e.g. "padded halves"
     # for the reference's 5000-on-8 config) — VERDICT r2 weak #3
     logger.log(step_counter, matcher=engine.matcher_desc)
+    # reference running-max over raw+EMA inception scores (train.py:264-272)
+    max_inception_score, max_inception_epoch = float("-inf"), -1
     mean_dist_gen, mean_dist_disc = [], []
     start_time = time.time()
 
@@ -324,13 +326,28 @@ def train(cfg: TrainConfig) -> TrainState:
             rng_seed=epoch, ema=True, write=is_chief,
         )
 
-        # periodic inception eval (train.py:245-273)
+        # periodic inception eval (train.py:245-273), with the reference's
+        # running max over BOTH raw and EMA scores (train.py:264-272)
         if (
             not is_toy
             and (epoch + 1) % cfg.eval_every_epochs == 0
             and epoch != start_epoch
         ):
-            _maybe_inception_eval(cfg, engine, state, logger, step_counter)
+            best = _maybe_inception_eval(
+                cfg, engine, state, logger, step_counter
+            )
+            if best is not None and best > max_inception_score:
+                max_inception_score, max_inception_epoch = best, epoch
+            if best is not None:
+                print(
+                    f"max inception score was {max_inception_score:.6f}, "
+                    f"iter was {max_inception_epoch}"
+                )
+                logger.log(
+                    step_counter,
+                    max_inception_score=max_inception_score,
+                    max_inception_epoch=max_inception_epoch,
+                )
 
         # periodic checkpoint + loss history (train.py:275-281)
         if (epoch + 1) % cfg.save_every_epochs == 0 and epoch != start_epoch:
@@ -403,6 +420,7 @@ def _maybe_inception_eval(cfg, engine, state, logger, step_counter):
         import otgan_tpu.eval.inception as _inc
 
         _inc._BATCH = cfg.inception_batch
+    best = None
     for ema in (False, True):
         # generation + classification run fused on-device; only the class
         # probabilities come to the host (the reference round-trips all
@@ -420,6 +438,12 @@ def _maybe_inception_eval(cfg, engine, state, logger, step_counter):
             step_counter,
             **{f"{tag}inception_score": mean, f"{tag}inception_std": std},
         )
+        print(
+            f"{'EMA ' if ema else ''}inception score was {mean:.6f}, "
+            f"std was {std:.3f}"
+        )
+        best = mean if best is None else max(best, mean)
+    return best
 
 
 def main(argv: Optional[list] = None):

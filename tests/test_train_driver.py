@@ -238,3 +238,49 @@ def test_inception_batch_flag():
     cfg = parse_args(["--inception_batch", "500"])
     assert cfg.inception_batch == 500
     assert parse_args([]).inception_batch == 0  # module default preserved
+
+
+def test_inception_eval_running_max_in_train(tmp_path, monkeypatch):
+    """The reference tracks ONE running max over raw+EMA scores across
+    evals (train.py:264-272); train() must log max_inception_score with
+    the epoch it occurred at. Inception weights monkeypatched to tiny
+    random params (zero-egress env), classifier batch shrunk."""
+    from otgan_tpu.train import train
+    import otgan_tpu.eval.inception as inc
+    from otgan_tpu.eval import inception_net
+
+    monkeypatch.setattr(
+        inc,
+        "_params_cache",
+        inception_net.init_params(np.random.default_rng(0), num_classes=8),
+    )
+    monkeypatch.setattr(inc, "_variant_cache", "torchvision")
+    monkeypatch.setattr(inc, "_BATCH", 2)
+
+    cfg = TrainConfig(
+        model="densenet",
+        layers_per_block=1,
+        filters_per_layer=4,
+        synthetic_data=True,
+        synthetic_size=16,
+        batch_size=8,
+        sinkhorn_lambda=50.0,
+        nr_sinkhorn_iter=5,
+        max_epochs=2,
+        eval_every_epochs=2,  # fires at epoch 1
+        inception_samples=4,
+        inception_splits=2,
+        save_every_epochs=100,
+        save_dir=str(tmp_path),
+        use_pallas=False,
+    )
+    train(cfg)
+    recs = [json.loads(l) for l in open(os.path.join(tmp_path, "metrics.jsonl"))]
+    raw = [r for r in recs if "inception_score" in r]
+    ema = [r for r in recs if "ema_inception_score" in r]
+    mx = [r for r in recs if "max_inception_score" in r]
+    assert len(raw) == 1 and len(ema) == 1 and len(mx) == 1
+    assert mx[0]["max_inception_score"] == max(
+        raw[0]["inception_score"], ema[0]["ema_inception_score"]
+    )
+    assert mx[0]["max_inception_epoch"] == 1
