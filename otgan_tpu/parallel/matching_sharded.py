@@ -106,8 +106,24 @@ def _sharded_sinkhorn_rows(
         )
 
         mode = local_step_mode(n_loc, n)
+        interpret = jax.default_backend() != "tpu"
+        if mode == "stream" and not interpret:
+            # HARDWARE MEASUREMENT (v5e, round 3): one pallas_call per
+            # iteration cannot pipeline DMA across calls — the streaming
+            # kernel measured 118.9 s vs XLA's 0.50 s for 500 iterations
+            # on the batch-8000/8 block (6, 512, 4096), ~240x SLOWER
+            # (docs/DESIGN.md section 3). The single-chip panel kernel
+            # wins by keeping all iterations inside ONE call; the sharded
+            # step structurally cannot (collectives between iterations).
+            # XLA's per-iteration lowering is bandwidth-bound optimal
+            # here, so it is the TPU default for this tier; the kernel
+            # stays available for study via OTGAN_FORCE_STREAM_STEP=1 and
+            # remains the exact-equivalence test vehicle on CPU.
+            import os
+
+            if os.environ.get("OTGAN_FORCE_STREAM_STEP", "0") != "1":
+                mode = None
         if mode is not None:
-            interpret = jax.default_backend() != "tpu"
             if mode == "fused":
                 n_loc_pad, n_pad = pad_to_grid(n_loc, n)
                 local_step = functools.partial(

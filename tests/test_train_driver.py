@@ -284,3 +284,28 @@ def test_inception_eval_running_max_in_train(tmp_path, monkeypatch):
         raw[0]["inception_score"], ema[0]["ema_inception_score"]
     )
     assert mx[0]["max_inception_epoch"] == 1
+
+
+def test_train_resume_with_padded_halves_matcher(tmp_path):
+    """Full driver E2E on the padded-halves row-sharded path (batch 40 on
+    the 8-device mesh: half 20, 20 % 8 != 0) incl. exact save/resume — the
+    driver-level guard for the round-3 uneven-batch machinery."""
+    from otgan_tpu.train import train
+
+    kw = dict(
+        model="toy_mlp",
+        batch_size=40,
+        sinkhorn_lambda=50.0,
+        nr_sinkhorn_iter=5,
+        save_dir=str(tmp_path),
+        use_pallas=False,
+        save_every_epochs=2,
+    )
+    train(TrainConfig(max_epochs=2, **kw))
+    recs = [json.loads(l) for l in open(os.path.join(tmp_path, "metrics.jsonl"))]
+    matcher = [r for r in recs if "matcher" in r]
+    assert matcher and "padded halves" in matcher[0]["matcher"]
+    epochs = [r for r in recs if "epoch" in r]
+    assert np.isfinite(epochs[-1]["dist_gen"])
+    state = train(TrainConfig(max_epochs=3, load_params=True, **kw))
+    assert int(np.asarray(state.step)) > 0
