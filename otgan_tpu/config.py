@@ -76,6 +76,14 @@ class TrainConfig:
     # collectively-normalized Sinkhorn (no chip holds a full N x N matrix).
     # False = let GSPMD partition the global matcher automatically.
     sharded_matching: bool = True
+    # multi-chip matcher layout: "rows" = row-sharded matrices with a
+    # cross-chip logsumexp per Sinkhorn iteration (min memory, 2 small
+    # collectives x n_iters); "matrices" = whole Sinkhorn instances
+    # round-robined over chips (the reference's own layout,
+    # utils/matching.py:49 — zero per-iteration collectives, each chip runs
+    # the full single-chip kernel tiers; heavier (4, B, d) output psum).
+    # docs/DESIGN.md section 4 has the trade-off; both are exact.
+    matching_layout: str = "rows"
     remat: bool = False  # jax.checkpoint over model blocks
     # selective remat: comma-separated save_point names kept in HBM instead
     # of recomputed in the backward pass (e.g. "gen_g1,disc_c4,gen_g2" for

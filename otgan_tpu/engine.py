@@ -88,40 +88,65 @@ class Engine:
             shard = max(cfg.batch_size // max(n_dev, 1), 1)
             self.matcher_desc = "random (--no_sinkhorn ablation)"
             return functools.partial(match_random, shard_size=shard)
-        if cfg.sharded_matching and n_dev > 1:
-            from otgan_tpu.parallel.matching_sharded import (
-                make_sharded_single_batch_matcher,
-                make_sharded_two_batch_matcher,
+        if cfg.matching_layout not in ("rows", "matrices"):
+            raise ValueError(
+                "matching_layout must be 'rows' or 'matrices', got "
+                f"{cfg.matching_layout!r}"
             )
-
-            # the row-sharded matcher now accepts ANY (even) global batch:
-            # uneven local (half-)batches — e.g. the reference's own
-            # train.py default of 5000 on 8 devices — run through the
-            # padded-halves path. Record which path engages so the driver
-            # can log it loudly (VERDICT r2 weak #3).
-            quantum = n_dev if cfg.single_batch else 2 * n_dev
-            if cfg.batch_size % quantum != 0:
-                n_half = (
-                    cfg.batch_size
-                    if cfg.single_batch
-                    else cfg.batch_size // 2
+        if cfg.sharded_matching and n_dev > 1:
+            kind = "single" if cfg.single_batch else "two"
+            if cfg.matching_layout == "matrices":
+                # matrix-parallel: whole Sinkhorn instances per chip (the
+                # reference's round-robin, utils/matching.py:49) — zero
+                # per-iteration collectives, full single-chip kernel tiers
+                from otgan_tpu.parallel.matching_matrix import (
+                    make_matrix_parallel_single_batch_matcher,
+                    make_matrix_parallel_two_batch_matcher,
                 )
-                pad = -n_half % n_dev
+
                 self.matcher_desc = (
-                    f"row-sharded ({'single' if cfg.single_batch else 'two'}"
-                    f"-batch, padded halves: +{pad} pad rows per half on the "
-                    f"{n_dev}-device mesh)"
+                    f"matrix-parallel ({kind}-batch, whole matrices "
+                    f"round-robined over the {n_dev}-device mesh)"
+                )
+                make = (
+                    make_matrix_parallel_single_batch_matcher
+                    if cfg.single_batch
+                    else make_matrix_parallel_two_batch_matcher
                 )
             else:
-                self.matcher_desc = (
-                    f"row-sharded ({'single' if cfg.single_batch else 'two'}"
-                    f"-batch, whole local halves on the {n_dev}-device mesh)"
+                from otgan_tpu.parallel.matching_sharded import (
+                    make_sharded_single_batch_matcher,
+                    make_sharded_two_batch_matcher,
                 )
-            make = (
-                make_sharded_single_batch_matcher
-                if cfg.single_batch
-                else make_sharded_two_batch_matcher
-            )
+
+                # the row-sharded matcher accepts ANY (even) global batch:
+                # uneven local (half-)batches — e.g. the reference's own
+                # train.py default of 5000 on 8 devices — run through the
+                # padded-halves path. Record which path engages so the
+                # driver can log it loudly (VERDICT r2 weak #3).
+                quantum = n_dev if cfg.single_batch else 2 * n_dev
+                if cfg.batch_size % quantum != 0:
+                    n_half = (
+                        cfg.batch_size
+                        if cfg.single_batch
+                        else cfg.batch_size // 2
+                    )
+                    pad = -n_half % n_dev
+                    self.matcher_desc = (
+                        f"row-sharded ({kind}-batch, padded halves: "
+                        f"+{pad} pad rows per half on the "
+                        f"{n_dev}-device mesh)"
+                    )
+                else:
+                    self.matcher_desc = (
+                        f"row-sharded ({kind}-batch, whole local halves "
+                        f"on the {n_dev}-device mesh)"
+                    )
+                make = (
+                    make_sharded_single_batch_matcher
+                    if cfg.single_batch
+                    else make_sharded_two_batch_matcher
+                )
             return make(
                 self.mesh,
                 cfg.sinkhorn_lambda,

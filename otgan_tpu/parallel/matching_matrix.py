@@ -1,0 +1,290 @@
+"""Matrix-parallel MED matching: whole Sinkhorn instances sharded across
+chips — the reference's own round-robin layout (``utils/matching.py:49``)
+rebuilt TPU-natively.
+
+The row-sharded matcher (`matching_sharded.py`) splits every matrix across
+chips and pays 2 small collectives PER Sinkhorn iteration (1000 for the
+reference's 500 iterations). Round-3 hardware measurement (DESIGN.md §3)
+showed the per-iteration kernel launch cannot pipeline DMA across the
+collective boundary, while the single-chip panel kernel
+(`ops/sinkhorn_pallas_tiled.py`) wins 5× by keeping all iterations inside
+one launch. This module exploits that: each chip owns WHOLE cost matrices
+(matrix m → the chips with ``(idx + r*K) % n_mats == m``), runs the full
+single-chip Sinkhorn tier stack on them — panel kernel, block-padding for
+the reference's misaligned N=2500/4000, tol early exit — with ZERO
+per-iteration collectives, then contributes its matched-feature matmuls to
+one final ``psum``. Duplicate owners (K not a multiple of the matrix
+count) are exactly cancelled by 1/count weights.
+
+Collective budget per matching call: 2 feature all-gathers + 1 psum of the
+(4, B, d) matched-output slots + 1 scalar psum (entropy) — versus the
+row-sharded layout's 4 gathers + 2·n_iters in-loop collectives + 1 psum.
+Trade-off: each chip materializes one full N×N matrix (64 MB f32 at the
+paper's N=4000 — matrices were never the memory problem; the (B, d)
+feature/output tensors dominate both layouts) and the (4, B, d) output
+slots (2.6 GB at B=5000). Pick with ``--matching_layout``; exact
+equivalence to the global matcher is tested for both.
+
+Any even global batch is supported directly: halves are sliced from the
+GATHERED features, so no padded-halves machinery is needed — when
+``B % n_dev != 0`` only the input/output sharding is tail-padded, the
+matching math never sees a pad row. Outputs are row-for-row EXACTLY the
+global matcher's (``ops.matching.match_two_batch`` /
+``match_single_batch``) — no permutation.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from otgan_tpu.ops.costs import cosine_cost
+from otgan_tpu.ops.matching import MatchedFeatures
+from otgan_tpu.ops.sinkhorn import sinkhorn_assignment
+
+_PRECISION = jax.lax.Precision.HIGHEST
+
+
+def _owner_counts(n_mats: int, n_dev: int):
+    """How many (chip, round) slots own each matrix under the assignment
+    ``m = (idx + r*n_dev) % n_mats``, r < ceil(n_mats/n_dev): slot index
+    j = idx + r*n_dev enumerates range(n_dev*rounds) bijectively, so
+    count(m) = |{j < n_dev*rounds : j % n_mats == m}| >= 1."""
+    rounds = max(1, -(-n_mats // n_dev))
+    total = n_dev * rounds
+    return rounds, [len(range(m, total, n_mats)) for m in range(n_mats)]
+
+
+def _mm(a, b):
+    return jnp.matmul(a, b, precision=_PRECISION)
+
+
+def make_matrix_parallel_two_batch_matcher(
+    mesh: Mesh,
+    lam: float,
+    n_iters: int,
+    cost_fn: Callable = cosine_cost,
+    axis_name: str = "data",
+    tol: float = 0.0,
+    use_pallas: bool = False,
+):
+    """Jitted ``(features_a, features_b) -> MatchedFeatures`` with the 6
+    two-batch matrices (reference order a1a2, b2b1, a1b1, a1b2, a2b1, a2b2,
+    ``utils/matching.py:41-43``) sharded whole across the mesh."""
+    n_dev = mesh.devices.size
+    rounds, counts = _owner_counts(6, n_dev)
+
+    def build(B: int, b_pad: int):
+        n = B // 2  # half size; matrices are (n, n)
+
+        def local(fa_loc, fb_loc):
+            # ONE gather per side (the row-sharded layout needs four)
+            fa = jax.lax.all_gather(fa_loc, axis_name, tiled=True)[:B]
+            fb = jax.lax.all_gather(fb_loc, axis_name, tiled=True)[:B]
+            fa1, fa2 = fa[:n], fa[n:]
+            fb1, fb2 = fb[:n], fb[n:]
+            idx = jax.lax.axis_index(axis_name)
+            d = fa.shape[1]
+
+            # (rows, cols) feature pairs per matrix, reference order
+            pairs = (
+                (fa1, fa2), (fb2, fb1), (fa1, fb1),
+                (fa1, fb2), (fa2, fb1), (fa2, fb2),
+            )
+
+            def solve(row_f, col_f):
+                c = cost_fn(row_f, col_f)
+                return sinkhorn_assignment(
+                    c, lam, n_iters, use_pallas=use_pallas, tol=tol
+                )
+
+            def branch(i):
+                def f(_):
+                    p, ent = solve(*pairs[i])
+                    out = jnp.zeros((4, b_pad, d), jnp.float32)
+                    # global-matcher recombination (ops/matching.py:109-121)
+                    if i == 0:  # a1a2
+                        out = out.at[0, :n].set(_mm(p, fa2))
+                        out = out.at[0, n:B].set(_mm(p.T, fa1))
+                    elif i == 1:  # b2b1
+                        out = out.at[1, n:B].set(_mm(p, fb1))
+                        out = out.at[1, :n].set(_mm(p.T, fb2))
+                    elif i == 2:  # a1b1
+                        out = out.at[2, :n].set(0.5 * _mm(p, fb1))
+                        out = out.at[3, :n].set(0.5 * _mm(p.T, fa1))
+                    elif i == 3:  # a1b2
+                        out = out.at[2, :n].add(0.5 * _mm(p, fb2))
+                        out = out.at[3, n:B].set(0.5 * _mm(p.T, fa1))
+                    elif i == 4:  # a2b1
+                        out = out.at[2, n:B].set(0.5 * _mm(p, fb1))
+                        out = out.at[3, :n].add(0.5 * _mm(p.T, fa2))
+                    else:  # a2b2
+                        out = out.at[2, n:B].add(0.5 * _mm(p, fb2))
+                        out = out.at[3, n:B].add(0.5 * _mm(p.T, fa2))
+                    return out, ent
+
+                return f
+
+            w = jnp.asarray([1.0 / c for c in counts], jnp.float32)
+            acc = jnp.zeros((4, b_pad, d), jnp.float32)
+            ent_acc = jnp.zeros((), jnp.float32)
+            for r in range(rounds):
+                m = (idx + r * n_dev) % 6
+                out_r, ent_r = jax.lax.switch(
+                    m, [branch(i) for i in range(6)], None
+                )
+                acc = acc + w[m] * out_r
+                ent_acc = ent_acc + w[m] * ent_r
+
+            full = jax.lax.psum(acc, axis_name)  # (4, b_pad, d)
+            entropy = jax.lax.psum(ent_acc, axis_name) / 6.0
+            b_loc = b_pad // n_dev
+            sl = lambda t: jax.lax.dynamic_slice_in_dim(
+                t, idx * b_loc, b_loc, 0
+            )
+            return sl(full[0]), sl(full[1]), sl(full[2]), sl(full[3]), entropy
+
+        return shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(axis_name), P(axis_name)),
+            out_specs=(
+                P(axis_name),
+                P(axis_name),
+                P(axis_name),
+                P(axis_name),
+                P(),
+            ),
+            # the whole point of this layout is that each chip runs a
+            # DIFFERENT matrix through the same program (lax.switch on
+            # axis_index): the Sinkhorn loop carry starts replicated but
+            # becomes device-varying, which jax's VMA typechecker rejects.
+            # Exactness vs the global matcher is covered by
+            # tests/test_matching_matrix.py instead.
+            check_vma=False,
+        )
+
+    @jax.jit
+    def matcher(features_a: jax.Array, features_b: jax.Array):
+        B, d = features_a.shape
+        if B % 2 != 0:
+            raise ValueError(
+                f"two-batch matching needs an even global batch, got B={B}"
+            )
+        pad = -B % n_dev  # sharding-only padding; the math never sees it
+        if pad:
+            z = jnp.zeros((pad, d), features_a.dtype)
+            fa = jnp.concatenate([features_a, z])
+            fb = jnp.concatenate([features_b, z])
+        else:
+            fa, fb = features_a, features_b
+        a_a, b_b, a_b, b_a, ent = build(B, B + pad)(fa, fb)
+        if pad:
+            a_a, b_b, a_b, b_a = (t[:B] for t in (a_a, b_b, a_b, b_a))
+        return MatchedFeatures(a_a, b_b, a_b, b_a, ent)
+
+    return matcher
+
+
+def make_matrix_parallel_single_batch_matcher(
+    mesh: Mesh,
+    lam: float,
+    n_iters: int,
+    cost_fn: Callable = cosine_cost,
+    axis_name: str = "data",
+    tol: float = 0.0,
+    use_pallas: bool = False,
+):
+    """Single-batch variant (reference ``get_matched_features_single_batch``,
+    ``utils/matching.py:88-136``): 3 matrices (a·a and b·b with the +999
+    self-match diagonal, a·b), each solved whole on its owner chip(s)."""
+    n_dev = mesh.devices.size
+    rounds, counts = _owner_counts(3, n_dev)
+
+    def build(B: int, b_pad: int):
+        def local(fa_loc, fb_loc):
+            fa = jax.lax.all_gather(fa_loc, axis_name, tiled=True)[:B]
+            fb = jax.lax.all_gather(fb_loc, axis_name, tiled=True)[:B]
+            idx = jax.lax.axis_index(axis_name)
+            d = fa.shape[1]
+            rows_eq_cols = (
+                jnp.arange(B)[:, None] == jnp.arange(B)[None, :]
+            )
+            eye = jnp.where(rows_eq_cols, 999.0, 0.0).astype(jnp.float32)
+
+            def solve(c):
+                return sinkhorn_assignment(
+                    c, lam, n_iters, use_pallas=use_pallas, tol=tol
+                )
+
+            def branch(i):
+                def f(_):
+                    out = jnp.zeros((4, b_pad, d), jnp.float32)
+                    if i == 0:  # a·a + 999 I
+                        p, ent = solve(cost_fn(fa, fa) + eye)
+                        out = out.at[0, :B].set(_mm(p, fa))
+                    elif i == 1:  # b·b + 999 I
+                        p, ent = solve(cost_fn(fb, fb) + eye)
+                        out = out.at[1, :B].set(_mm(p, fb))
+                    else:  # a·b (both directions)
+                        p, ent = solve(cost_fn(fa, fb))
+                        out = out.at[2, :B].set(_mm(p, fb))
+                        out = out.at[3, :B].set(_mm(p.T, fa))
+                    return out, ent
+
+                return f
+
+            w = jnp.asarray([1.0 / c for c in counts], jnp.float32)
+            acc = jnp.zeros((4, b_pad, d), jnp.float32)
+            ent_acc = jnp.zeros((), jnp.float32)
+            for r in range(rounds):
+                m = (idx + r * n_dev) % 3
+                out_r, ent_r = jax.lax.switch(
+                    m, [branch(i) for i in range(3)], None
+                )
+                acc = acc + w[m] * out_r
+                ent_acc = ent_acc + w[m] * ent_r
+
+            full = jax.lax.psum(acc, axis_name)
+            entropy = jax.lax.psum(ent_acc, axis_name) / 3.0
+            b_loc = b_pad // n_dev
+            sl = lambda t: jax.lax.dynamic_slice_in_dim(
+                t, idx * b_loc, b_loc, 0
+            )
+            return sl(full[0]), sl(full[1]), sl(full[2]), sl(full[3]), entropy
+
+        return shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(axis_name), P(axis_name)),
+            out_specs=(
+                P(axis_name),
+                P(axis_name),
+                P(axis_name),
+                P(axis_name),
+                P(),
+            ),
+            check_vma=False,  # see the two-batch matcher's note
+        )
+
+    @jax.jit
+    def matcher(features_a: jax.Array, features_b: jax.Array):
+        B, d = features_a.shape
+        pad = -B % n_dev
+        if pad:
+            z = jnp.zeros((pad, d), features_a.dtype)
+            fa = jnp.concatenate([features_a, z])
+            fb = jnp.concatenate([features_b, z])
+        else:
+            fa, fb = features_a, features_b
+        a_a, b_b, a_b, b_a, ent = build(B, B + pad)(fa, fb)
+        if pad:
+            a_a, b_b, a_b, b_a = (t[:B] for t in (a_a, b_b, a_b, b_a))
+        return MatchedFeatures(a_a, b_b, a_b, b_a, ent)
+
+    return matcher

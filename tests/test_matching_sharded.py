@@ -523,3 +523,18 @@ def test_sharded_reference_batch_8000_streaming_exact():
     np.testing.assert_allclose(
         float(got.entropy), float(want_p.entropy), atol=1e-4
     )
+
+
+def test_sharded_matcher_never_materializes_full_matrices():
+    """Compiled-HLO guard: the row-sharded matcher must keep every device's
+    cost/assignment buffers at the LOCAL row-block shape (6, n_loc, N) —
+    a full (6, N, N) allocation anywhere means a regression gathered the
+    matrices back onto one device (the reference's whole-matrix
+    round-robin layout, utils/matching.py:49, that this component exists
+    to avoid). B=128 on 8 devices: local blocks f32[6,8,64]."""
+    mesh = make_mesh(8)
+    matcher = make_sharded_two_batch_matcher(mesh, LAM, 5)
+    f = jnp.asarray(_features(50, 128))
+    txt = matcher.lower(f, f).compile().as_text()
+    assert "f32[6,8,64]" in txt  # the sharded row blocks exist
+    assert "f32[6,64,64]" not in txt  # no device holds full matrices
