@@ -16,14 +16,16 @@ per-iteration collectives, then contributes its matched-feature matmuls to
 one final ``psum``. Duplicate owners (K not a multiple of the matrix
 count) are exactly cancelled by 1/count weights.
 
-Collective budget per matching call: 2 feature all-gathers + 1 psum of the
-(4, B, d) matched-output slots + 1 scalar psum (entropy) — versus the
-row-sharded layout's 4 gathers + 2·n_iters in-loop collectives + 1 psum.
-Trade-off: each chip materializes one full N×N matrix (64 MB f32 at the
-paper's N=4000 — matrices were never the memory problem; the (B, d)
-feature/output tensors dominate both layouts) and the (4, B, d) output
-slots (2.6 GB at B=5000). Pick with ``--matching_layout``; exact
-equivalence to the global matcher is tested for both.
+Collective budget per matching call: 2 feature all-gathers + 1
+reduce-scatter of the (4, B, d) matched-output slots (each chip keeps only
+its (4, B/n_dev, d) block — 1/n_dev the bytes of an all-reduce) + 1 scalar
+psum (entropy) — versus the row-sharded layout's 4 gathers + 2·n_iters
+in-loop collectives + 1 psum. Trade-off: each chip materializes one full
+N×N matrix (64 MB f32 at the paper's N=4000 — matrices were never the
+memory problem; the (B, d) feature/output tensors dominate both layouts)
+and the (4, B, d) accumulator (2.6 GB at B=5000). Pick with
+``--matching_layout``; exact equivalence to the global matcher is tested
+for both.
 
 Any even global batch is supported directly: halves are sliced from the
 GATHERED features, so no padded-halves machinery is needed — when
@@ -141,13 +143,15 @@ def make_matrix_parallel_two_batch_matcher(
                 acc = acc + w[m] * out_r
                 ent_acc = ent_acc + w[m] * ent_r
 
-            full = jax.lax.psum(acc, axis_name)  # (4, b_pad, d)
+            # reduce-scatter, not psum+slice: each chip only needs ITS
+            # (4, b_loc, d) output block, so scatter the reduction over the
+            # batch axis — 1/n_dev the collective bytes of an all-reduce
+            # (the (4, B, d) tensor is the layout's largest moving part)
+            loc = jax.lax.psum_scatter(
+                acc, axis_name, scatter_dimension=1, tiled=True
+            )  # (4, b_loc, d)
             entropy = jax.lax.psum(ent_acc, axis_name) / 6.0
-            b_loc = b_pad // n_dev
-            sl = lambda t: jax.lax.dynamic_slice_in_dim(
-                t, idx * b_loc, b_loc, 0
-            )
-            return sl(full[0]), sl(full[1]), sl(full[2]), sl(full[3]), entropy
+            return loc[0], loc[1], loc[2], loc[3], entropy
 
         return shard_map(
             local,
@@ -250,13 +254,11 @@ def make_matrix_parallel_single_batch_matcher(
                 acc = acc + w[m] * out_r
                 ent_acc = ent_acc + w[m] * ent_r
 
-            full = jax.lax.psum(acc, axis_name)
+            loc = jax.lax.psum_scatter(
+                acc, axis_name, scatter_dimension=1, tiled=True
+            )  # see the two-batch matcher: 1/n_dev the all-reduce bytes
             entropy = jax.lax.psum(ent_acc, axis_name) / 3.0
-            b_loc = b_pad // n_dev
-            sl = lambda t: jax.lax.dynamic_slice_in_dim(
-                t, idx * b_loc, b_loc, 0
-            )
-            return sl(full[0]), sl(full[1]), sl(full[2]), sl(full[3]), entropy
+            return loc[0], loc[1], loc[2], loc[3], entropy
 
         return shard_map(
             local,

@@ -219,13 +219,23 @@ def test_matrix_parallel_collective_budget():
     def count_collectives(n_iters):
         m = make_matrix_parallel_two_batch_matcher(mesh, LAM, n_iters)
         txt = m.lower(f, f).compile().as_text()
-        return len(
-            re.findall(r"\b(all-reduce|all-gather|collective-permute)\b", txt)
+        return (
+            len(
+                re.findall(
+                    r"\b(all-reduce|all-gather|collective-permute"
+                    r"|reduce-scatter)\b",
+                    txt,
+                )
+            ),
+            "reduce-scatter" in txt,
         )
 
-    c5, c50 = count_collectives(5), count_collectives(50)
+    (c5, rs5), (c50, _) = count_collectives(5), count_collectives(50)
     assert c5 == c50, (c5, c50)
     assert c5 <= 6, f"expected <=6 collective ops, compiled {c5}"
+    # the (4, B, d) output reduction must be a reduce-scatter (each chip
+    # keeps only its block), not an all-reduce of the full tensor
+    assert rs5, "expected the output psum_scatter to compile to reduce-scatter"
 
 
 def test_engine_unknown_layout_raises():
