@@ -19,8 +19,8 @@ entire pipeline stays row-sharded end-to-end under ``shard_map``:
   sup-norm early exit on the column potential — the collective-reduced ``v``
   is replicated across chips, so the stopping decision is too;
 * matched features: direct matmuls are local row-blocks; transposed
-  matmuls (P^T f) are local partials reduced with one ``psum`` and sliced
-  back to local rows.
+  matmuls (P^T f) are local partials reduced with one ``psum_scatter``
+  straight to local rows (1/K the collective bytes of an all-reduce).
 
 Batch-half convention (two-batch): the global matcher
 (`ops.matching.match_two_batch`) splits the batch at B/2; here each chip
@@ -348,14 +348,17 @@ def make_sharded_two_batch_matcher(
                     mm(p_a1b2.T, fa1l) + mm(p_a2b2.T, fa2l),  # -> b2 from a
                 ]
             )  # (4, N, d) partial over local rows
-            full = jax.lax.psum(partials, axis_name)
-            sl = lambda t: jax.lax.dynamic_slice_in_dim(
-                t, idx * n_loc, n_loc, 0
-            )
-            a2_a = sl(full[0])
-            b1_b = sl(full[1])
-            b1_a = 0.5 * sl(full[2])
-            b2_a = 0.5 * sl(full[3])
+            # reduce-scatter, not psum+slice: each chip only needs its
+            # (4, n_loc, d) row block, so scatter the reduction over the
+            # row axis — 1/n_dev the collective bytes of an all-reduce
+            # (1.3 GB f32 at the reference's N=2500/d=32768)
+            loc = jax.lax.psum_scatter(
+                partials, axis_name, scatter_dimension=1, tiled=True
+            )  # (4, n_loc, d)
+            a2_a = loc[0]
+            b1_b = loc[1]
+            b1_a = 0.5 * loc[2]
+            b2_a = 0.5 * loc[3]
 
             # reassemble in local input order [batch1; batch2]
             a_a = jnp.concatenate([a1_a, a2_a])
@@ -472,9 +475,11 @@ def make_sharded_single_batch_matcher(
             a_a = mm(p_aa, fa)
             b_b = mm(p_bb, fb)
             a_b = mm(p_ab, fb)
-            # transposed matmul: local partial -> psum -> local rows
-            full = jax.lax.psum(mm(p_ab.T, fa_loc), axis_name)  # (B, d)
-            b_a = jax.lax.dynamic_slice_in_dim(full, idx * b_loc, b_loc, 0)
+            # transposed matmul: local partials reduce-scattered straight to
+            # local rows (1/n_dev the bytes of the former psum+slice)
+            b_a = jax.lax.psum_scatter(
+                mm(p_ab.T, fa_loc), axis_name, scatter_dimension=0, tiled=True
+            )  # (b_loc, d)
             return a_a, b_b, a_b, b_a, entropy
 
         return shard_map(
