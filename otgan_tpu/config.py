@@ -84,6 +84,17 @@ class TrainConfig:
     # the full single-chip kernel tiers; heavier (4, B, d) output psum).
     # docs/DESIGN.md section 4 has the trade-off; both are exact.
     matching_layout: str = "rows"
+    # feature-stage gradient accumulation: split each step's batch into this
+    # many microbatches — model forward/backward run per microbatch while the
+    # matching stays GLOBAL over the full batch. Exact, not approximate: the
+    # MED losses put stop_gradient on every matched feature (ops/losses.py),
+    # so the loss is a per-sample sum features*cotangent and the backward
+    # decomposes row-for-row. This runs the paper's batch-8000 config
+    # (train_with_model_saving.py:16,23 — "multi-chip by construction" for
+    # the reference, 8 GPUs) on ONE 16 GB chip: only the (B, d) feature /
+    # cotangent tensors and the Sinkhorn matrices stay resident, activations
+    # exist one microbatch at a time. 1 = off. batch_size must be divisible.
+    grad_accum: int = 1
     remat: bool = False  # jax.checkpoint over model blocks
     # selective remat: comma-separated save_point names kept in HBM instead
     # of recomputed in the backward pass (e.g. "gen_g1,disc_c4,gen_g2" for

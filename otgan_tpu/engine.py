@@ -74,8 +74,19 @@ class Engine:
             scaled_sqeuclidean_cost if cfg.model == "toy_mlp" else cosine_cost
         )
         self._matcher = self._make_matcher()
-        self.gen_step = jax.jit(self._gen_step, donate_argnums=(0,))
-        self.disc_step = jax.jit(self._disc_step, donate_argnums=(0,))
+        if cfg.grad_accum > 1:
+            if cfg.batch_size % cfg.grad_accum != 0:
+                raise ValueError(
+                    f"batch_size {cfg.batch_size} must be divisible by "
+                    f"grad_accum {cfg.grad_accum}"
+                )
+            self._gen_impl = self._gen_step_accum
+            self._disc_impl = self._disc_step_accum
+        else:
+            self._gen_impl = self._gen_step
+            self._disc_impl = self._disc_step
+        self.gen_step = jax.jit(self._gen_impl, donate_argnums=(0,))
+        self.disc_step = jax.jit(self._disc_impl, donate_argnums=(0,))
         self.cycle_step = jax.jit(self._cycle_step, donate_argnums=(0,))
 
     # -- matching mode dispatch (train.py:88-97) --
@@ -258,6 +269,142 @@ class Engine:
         )
         return new_state, StepMetrics(dist=dist, entropy=m.entropy)
 
+    # -- feature-stage gradient accumulation (exact, not approximate) --
+    #
+    # The MED losses seed backprop at the feature tensors with
+    # stop_gradient'd cotangents (ops/losses.py: L = sum f * sg(delta)), so
+    # the loss decomposes row-for-row over the batch. That lets the model
+    # forward/backward run per MICROBATCH while the matching stays GLOBAL:
+    #
+    #   phase 1  scan over microbatches: features only (activations freed
+    #            between iterations — only the (B, d) feature stack persists)
+    #   phase 2  the full-batch matcher (any tier/layout) -> cotangents
+    #   phase 3  scan over microbatches: recompute the microbatch forward
+    #            under jax.grad seeded by its cotangent slice; sum grads
+    #
+    # Net effect: the paper's batch-8000 config — "multi-chip by
+    # construction" for the reference (1000 x 8 GPUs,
+    # train_with_model_saving.py:16,23) and 18+ GB if stepped whole on one
+    # chip (DESIGN.md section 7) — trains on ONE 16 GB chip, because only
+    # the (B, d) features/cotangents and the Sinkhorn matrices are ever
+    # resident at full batch. FLOP cost matches full remat (forward runs
+    # twice). Latents are drawn per microbatch (M split keys rather than
+    # one B-sized draw — an equally valid sampling of the same
+    # distribution); GIVEN those samples, gradients equal the full-batch
+    # computation exactly (tests/test_grad_accum.py).
+
+    def _gen_step_accum(
+        self, state: TrainState, x_data: jax.Array
+    ) -> Tuple[TrainState, StepMetrics]:
+        cfg = self.cfg
+        B = x_data.shape[0]
+        M = cfg.grad_accum
+        mb = B // M
+        rng, noise_key = jax.random.split(state.rng)
+        keys = jax.random.split(noise_key, M)
+        xs = x_data.reshape(M, mb, *x_data.shape[1:])
+
+        def fwd(_, inp):
+            key, x_mb = inp
+            x_gen = self.gen.apply(state.gen_params, key, mb)
+            f_gen = self.disc.apply(state.disc_params, x_gen)
+            f_dat = self.disc.apply(state.disc_params, x_mb)
+            return None, (f_gen, f_dat)
+
+        _, (fg, fd) = jax.lax.scan(fwd, None, (keys, xs))
+        f_gen = fg.reshape(B, -1)
+        f_dat = fd.reshape(B, -1)
+        m = self._matcher(f_gen, f_dat)
+        dist = calc_distance(f_gen, f_dat, m)
+        # generator cotangent (train.py:111-112); (B, d) is all phase 3
+        # needs — the other matched tensors die here
+        ct = jax.lax.stop_gradient(m.a_a - m.a_b).reshape(M, mb, -1)
+
+        def bwd(acc, inp):
+            key, ct_mb = inp
+
+            def loss_mb(gen_params):
+                x_gen = self.gen.apply(gen_params, key, mb)
+                f = self.disc.apply(state.disc_params, x_gen)
+                return jnp.sum(f * ct_mb)
+
+            g = jax.grad(loss_mb)(state.gen_params)
+            return jax.tree_util.tree_map(jnp.add, acc, g), None
+
+        zeros = jax.tree_util.tree_map(jnp.zeros_like, state.gen_params)
+        grads, _ = jax.lax.scan(bwd, zeros, (keys, ct))
+        gen_params, gen_opt = self.opt_update(
+            state.gen_params, grads, state.gen_opt, cfg.learning_rate_gen
+        )
+        new_state = state._replace(
+            gen_params=gen_params,
+            gen_opt=gen_opt,
+            gen_ema=ema_update(state.gen_ema, gen_params, cfg.ema_decay),
+            step=state.step + 1,
+            rng=rng,
+        )
+        return new_state, StepMetrics(dist=dist, entropy=m.entropy)
+
+    def _disc_step_accum(
+        self, state: TrainState, x_data: jax.Array
+    ) -> Tuple[TrainState, StepMetrics]:
+        cfg = self.cfg
+        B = x_data.shape[0]
+        M = cfg.grad_accum
+        mb = B // M
+        rng, noise_key = jax.random.split(state.rng)
+        keys = jax.random.split(noise_key, M)
+        xs = x_data.reshape(M, mb, *x_data.shape[1:])
+        fake_params = (
+            state.gen_ema if cfg.train_disc_against_ema else state.gen_params
+        )
+
+        def fwd(_, inp):
+            key, x_mb = inp
+            # x_fake needs no gradient (critic update): stack the IMAGES
+            # (cheap — (B, 32, 32, 3) vs the generator's activations) so
+            # phase 3 skips the G recompute entirely
+            x_fake = self.gen.apply(fake_params, key, mb)
+            f_fake = self.disc.apply(state.disc_params, x_fake)
+            f_dat = self.disc.apply(state.disc_params, x_mb)
+            return None, (x_fake, f_fake, f_dat)
+
+        _, (xf, ff, fd) = jax.lax.scan(fwd, None, (keys, xs))
+        f_fake = ff.reshape(B, -1)
+        f_dat = fd.reshape(B, -1)
+        m = self._matcher(f_fake, f_dat)
+        dist = calc_distance(f_fake, f_dat, m)
+        # discriminator cotangents (train.py:119-128)
+        ct_a = jax.lax.stop_gradient(m.a_a - m.a_b).reshape(M, mb, -1)
+        ct_b = jax.lax.stop_gradient(m.b_b - m.b_a).reshape(M, mb, -1)
+
+        def bwd(acc, inp):
+            x_fake_mb, x_mb, ct_a_mb, ct_b_mb = inp
+
+            def loss_mb(disc_params):
+                f_f = self.disc.apply(disc_params, x_fake_mb)
+                f_d = self.disc.apply(disc_params, x_mb)
+                return jnp.sum(f_d * ct_b_mb) + jnp.sum(f_f * ct_a_mb)
+
+            g = jax.grad(loss_mb)(state.disc_params)
+            return jax.tree_util.tree_map(jnp.add, acc, g), None
+
+        zeros = jax.tree_util.tree_map(jnp.zeros_like, state.disc_params)
+        grads, _ = jax.lax.scan(bwd, zeros, (xf, xs, ct_a, ct_b))
+        disc_params, disc_opt = self.opt_update(
+            state.disc_params,
+            grads,
+            state.disc_opt,
+            -cfg.learning_rate_disc,  # gradient ascent (train.py:143)
+        )
+        new_state = state._replace(
+            disc_params=disc_params,
+            disc_opt=disc_opt,
+            step=state.step + 1,
+            rng=rng,
+        )
+        return new_state, StepMetrics(dist=dist, entropy=m.entropy)
+
     # -- fused multi-step cycle: one executable per K train steps --
     def _cycle_step(
         self, state: TrainState, xs: jax.Array
@@ -279,7 +426,7 @@ class Engine:
                 # (med_gan_toy_example2.ipynb cell 1) — critic slots become
                 # generator steps
                 is_disc = jnp.logical_and(is_disc, st.step < freeze)
-            return jax.lax.cond(is_disc, self._disc_step, self._gen_step, st, x)
+            return jax.lax.cond(is_disc, self._disc_impl, self._gen_impl, st, x)
 
         return jax.lax.scan(body, state, xs)
 

@@ -136,6 +136,12 @@ def train(cfg: TrainConfig) -> TrainState:
     print(
         f"mesh: {engine.mesh}; backend: {jax.default_backend()}; "
         f"global batch: {cfg.batch_size}; matcher: {engine.matcher_desc}"
+        + (
+            f"; grad_accum: {cfg.grad_accum} microbatches of "
+            f"{cfg.batch_size // cfg.grad_accum}"
+            if cfg.grad_accum > 1
+            else ""
+        )
         + (f"; process {pid}/{pcount} (local batch {local_batch})" if pcount > 1 else "")
     )
     if not cfg.remat and jax.default_backend() == "tpu":
@@ -143,7 +149,10 @@ def train(cfg: TrainConfig) -> TrainState:
         # (DESIGN.md section 7, REHEARSAL.md): DCGAN fails at per-chip
         # batch 5120; DenseNet fails already at 256. Warn BEFORE the
         # multi-minute compile so the user isn't surprised by the OOM.
+        # with grad_accum only ONE microbatch's activations are live at a
+        # time, so the boundary scales with the microbatch, not the batch
         per_chip = cfg.batch_size // max(len(engine.mesh.devices.flat), 1)
+        per_chip //= max(cfg.grad_accum, 1)
         limit = 128 if cfg.model == "densenet" else 2048
         if per_chip > limit and is_chief:
             print(
