@@ -52,7 +52,12 @@ reference --model densenet, train.py:29,38-41), BENCH_DENSENET_BATCH
 compile footprint, docs/BACKLOG.md), BENCH_DENSENET_POLICY (default ""
 = full remat: save-policy DenseNet programs crash the remote compile
 helper, consistent with the measured 16.4->25.4 G per-segment-remat
-footprint blowup; r03 measured 707.8 img/s/chip at 256/"").
+footprint blowup; r03 measured 707.8 img/s/chip at 256/""),
+BENCH_DENSENET_5000 (default 1 on TPU: DenseNet at the reference's OWN
+global batch 5000 on one chip via --grad_accum 40 — previously pod-only;
+r03 measured 670.5 img/s/chip),
+BENCH_PAPER_8000 (default 1 on TPU: DCGAN at the paper's
+model-saving batch 8000 via --grad_accum, see the section comment).
 """
 
 from __future__ import annotations
@@ -101,7 +106,11 @@ def _time_cycles(eng, cfg, batch, cycles, profile_dir="", fused=True):
         rng.uniform(-1.0, 1.0, (batch, 32, 32, 3)).astype(np.float32)
     )
     t0 = time.time()
-    state, nf = eng.init_state(1, eng.shard(x))
+    # data-dependent init runs with no remat, so at deep-family scale it
+    # OOMs before training does — honor cfg.init_batch_size like the
+    # driver (--init_batch_size, trains on a prefix)
+    x_init = x[: cfg.init_batch_size] if cfg.init_batch_size else x
+    state, nf = eng.init_state(1, eng.shard(x_init))
     log(f"[b{batch}] init ({nf} features): {time.time() - t0:.1f}s")
 
     per_cycle = cfg.nr_gen_per_disc + 1
@@ -263,6 +272,28 @@ def main():
         except Exception as e:  # secondary; never sink the headline bench
             log(f"densenet bench failed: {e!r}")
             extra["densenet_error"] = str(e)
+
+    # DenseNet at the REFERENCE'S OWN global batch 5000 (train.py:16,23 ×
+    # nr_gpu 8, --model densenet) on ONE chip via --grad_accum: previously
+    # pod-only (~18+ GB of activations stepped whole). Measured boundary:
+    # microbatch 250 OOMs by ~70-250 MB (fused AND unfused), microbatch 200
+    # pads 200→256 on the lane axis and is worse — 125 (pads to 128) is the
+    # feasible point; grad_accum 40, full remat, unfused steps.
+    # BENCH_DENSENET_5000=0 skips.
+    if os.environ.get("BENCH_DENSENET_5000", "1" if on_tpu else "0") == "1":
+        try:
+            extra["densenet_5000_img_per_sec"] = round(
+                _bench_throughput(
+                    5000, cycles, remat=True, fused=False,
+                    model="densenet", remat_policy="",
+                    grad_accum=40, init_batch_size=250,
+                ),
+                1,
+            )
+            extra["densenet_5000_grad_accum"] = 40
+        except Exception as e:  # secondary; never sink the headline bench
+            log(f"densenet-5000 bench failed: {e!r}")
+            extra["densenet_5000_error"] = str(e)
 
     # the PAPER's batch-8000 config (train_with_model_saving.py:16,23 —
     # 1000 x 8 GPUs for the reference, 18+ GB if stepped whole on one chip)
