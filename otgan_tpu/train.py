@@ -159,7 +159,31 @@ def train(cfg: TrainConfig) -> TrainState:
                 f"WARNING: per-chip batch {per_chip} without --remat is "
                 "likely to exceed HBM at compile for this model family "
                 "(measured boundaries in docs/REHEARSAL.md); pass --remat "
-                "(and see --remat_policy for the fast selective sets)"
+                "(and see --remat_policy for the fast selective sets), or "
+                "--grad_accum M to microbatch the model phases around the "
+                "full-batch matching (exact; runs the reference's batch-8000 "
+                "DCGAN and batch-5000 DenseNet configs on one chip — "
+                "docs/DESIGN.md section 7)"
+            )
+    if (
+        cfg.remat
+        and cfg.model == "densenet"
+        and cfg.grad_accum > 1
+        and jax.default_backend() == "tpu"
+    ):
+        # measured r03 boundary at global batch 5000: microbatch 250 OOMs
+        # by ~70 MB even with full remat (the backward's ~1 GB f32
+        # dense-block concat temps); 200 pads 200->256 on the lane axis
+        # and is worse; 125 fits (DESIGN.md section 7)
+        mb = cfg.batch_size // cfg.grad_accum // max(
+            len(engine.mesh.devices.flat), 1
+        )
+        if mb > 128 and is_chief:
+            print(
+                f"WARNING: densenet per-chip microbatch {mb} exceeded HBM "
+                "in measurement even under --remat (boundary ~125-128, "
+                "lane-padding makes 129..256 equivalent); raise "
+                "--grad_accum (docs/DESIGN.md section 7)"
             )
 
     # ---- data (multi-process: each host feeds a disjoint slice) ----
