@@ -10,8 +10,6 @@ gradients equal a straight full-batch computation over the SAME samples
 (latents are drawn per microbatch — tests rebuild that exact draw).
 """
 
-import dataclasses
-
 import numpy as np
 import jax
 import jax.numpy as jnp

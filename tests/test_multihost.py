@@ -97,18 +97,30 @@ def test_two_process_toy_train(tmp_path):
     # toy sample dumps from the chief only
     assert os.path.exists(os.path.join(save_dir, "sample0.npy"))
 
-    # ---- resume leg: collective orbax restore across both processes ----
+    # ---- resume leg: collective orbax restore across both processes,
+    # resumed into --grad_accum steps (accum changes no state shape, so a
+    # checkpoint trained unaccumulated restores into microbatched steps;
+    # also the only coverage of accum's global-batch reshape across a real
+    # process boundary) ----
     port2 = _free_port()
     resume_args = [
         a if a != f"127.0.0.1:{port}" else f"127.0.0.1:{port2}"
         for a in args
-    ] + ["--load_params", "--max_epochs", "3"]
+    ] + ["--load_params", "--max_epochs", "3", "--grad_accum", "2"]
     procs = [_launch(i, port2, save_dir, resume_args) for i in range(2)]
     outs = [p.communicate(timeout=420)[0] for p in procs]
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"resume process {i} failed:\n{out[-4000:]}"
     for out in outs:
         assert "resuming at epoch 2" in out  # both restored the same step
+    assert "grad_accum: 2 microbatches of 64" in outs[0]
+    # the resumed (accumulated) epoch logged a finite distance
+    recs = [
+        json.loads(l) for l in open(os.path.join(save_dir, "metrics.jsonl"))
+    ]
+    epochs = [r for r in recs if "epoch" in r]
+    assert len(epochs) == 3
+    assert np.isfinite(epochs[-1]["dist_gen"])
 
 
 def test_two_process_inception_eval(tmp_path):
