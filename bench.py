@@ -177,6 +177,58 @@ def _bench_throughput(
     return per_cycle * batch / sec_per_cycle / n_chips
 
 
+def _bench_inception(num_samples: int) -> float:
+    """Time the device-streaming Inception eval (seconds for
+    ``num_samples``): DCGAN EMA sampler -> rescale/resize/preprocess ->
+    tf2015-variant InceptionV3 -> softmax probs, compile excluded via a
+    two-batch warmup."""
+    os.environ.setdefault(
+        "OTGAN_INCEPTION_BATCH",
+        os.environ.get("BENCH_INCEPTION_BATCH", "500"),
+    )
+    import jax
+    import jax.numpy as jnp
+
+    from otgan_tpu.config import TrainConfig
+    from otgan_tpu.engine import Engine
+    from otgan_tpu.eval import inception_net
+    from otgan_tpu.eval.inception import inception_score_from_sampler
+
+    gen_batch = 500
+    cfg = TrainConfig(batch_size=gen_batch, data_dependent_init=False)
+    eng = Engine(cfg)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(
+        rng.uniform(-1.0, 1.0, (gen_batch, 32, 32, 3)).astype(np.float32)
+    )
+    state, _ = eng.init_state(1, x)
+    params = inception_net.init_params(
+        np.random.default_rng(1), num_classes=1008
+    )
+    sample_jit = jax.jit(
+        lambda st, key: eng.sample(st, key, gen_batch, ema=True)
+    )
+
+    def sample_fn(seed):
+        return sample_jit(state, jax.random.PRNGKey(seed))
+
+    t0 = time.time()
+    inception_score_from_sampler(
+        sample_fn, 2 * gen_batch, params=params, variant="tf2015"
+    )
+    log(f"[inception] warmup/compile: {time.time() - t0:.1f}s")
+    t0 = time.time()
+    score, std = inception_score_from_sampler(
+        sample_fn, num_samples, params=params, variant="tf2015"
+    )
+    sec = time.time() - t0
+    log(
+        f"[inception] {num_samples} samples in {sec:.1f}s "
+        f"({num_samples / sec:.0f} img/s; random-weight score {score:.2f})"
+    )
+    return sec
+
+
 def _kernel_parity():
     """On-hardware cross-check: Pallas kernels vs the XLA Sinkhorn at the
     reference operating point (lam=500, 500 iterations, cosine-cost range
@@ -316,6 +368,26 @@ def main():
         except Exception as e:  # secondary; never sink the headline bench
             log(f"paper-8000 bench failed: {e!r}")
             extra["paper_8000_error"] = str(e)
+
+    # Inception-score eval throughput (reference protocol train.py:245-273:
+    # 50 000 generated samples through the frozen classifier, every
+    # eval_every epochs x2 for raw+EMA). Times the device-streaming path
+    # (eval/inception.py:predict_probs_from_sampler — generation +
+    # classification fused on-device, only (B, classes) probs come host-
+    # side) with random tf2015-variant weights: timing is weight-
+    # independent, and no real .pb exists in this zero-egress env.
+    # BENCH_INCEPTION=0 skips; BENCH_INCEPTION_SAMPLES (default 50000),
+    # BENCH_INCEPTION_BATCH (default 500 — the measured fast setting;
+    # 100 = the reference's own batch, ~30% slower).
+    if os.environ.get("BENCH_INCEPTION", "1" if on_tpu else "0") == "1":
+        try:
+            n_eval = int(os.environ.get("BENCH_INCEPTION_SAMPLES", "50000"))
+            sec = _bench_inception(n_eval)
+            extra["inception_eval_sec_per_50k"] = round(sec * 50000 / n_eval, 1)
+            extra["inception_eval_img_per_sec"] = round(n_eval / sec, 1)
+        except Exception as e:  # secondary; never sink the headline bench
+            log(f"inception bench failed: {e!r}")
+            extra["inception_error"] = str(e)
 
     fused = os.environ.get("BENCH_FUSED", "1" if batch <= 5120 else "0") == "1"  # >5120 exceeds HBM fused
     img_per_sec = _bench_throughput(
