@@ -41,6 +41,9 @@ DEFAULT_WEIGHTS = "/tmp/imagenet/inception_v3_jax.npz"
 # without changing the score. Measured on one v5e chip (streaming
 # sampler path, DCGAN generator): 50 000 samples in 42 s at 100 and
 # 32 s at 500 (1572 img/s) — one full raw+EMA eval event is ~2 x 32 s.
+# bf16 classifier compute was MEASURED A NON-WIN (r03: 279 ms/batch-500
+# vs 268 f32 — the tf2015 forward is not MXU-bound at this batch), so
+# scoring stays f32, which the 8.47-parity comparison wants anyway.
 _BATCH = int(os.environ.get("OTGAN_INCEPTION_BATCH", "100"))
 
 _params_cache = None
