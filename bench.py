@@ -369,6 +369,31 @@ def main():
             log(f"paper-8000 bench failed: {e!r}")
             extra["paper_8000_error"] = str(e)
 
+    # the opt-in --sinkhorn_tol speed path at the headline config: same
+    # matching answer within 1e-6 of the exact 500-iteration schedule
+    # (README "Opt-in speed knob"), early-exiting on potential
+    # convergence. The headline stays exact-500 (reference parity);
+    # this key records what a user actually gets by turning the knob.
+    # BENCH_TOL=0 skips; BENCH_TOL_VALUE sets the tolerance.
+    if os.environ.get("BENCH_TOL", "1" if on_tpu else "0") == "1":
+        try:
+            tol = float(os.environ.get("BENCH_TOL_VALUE", "1e-3"))
+            tol_fused = (
+                os.environ.get("BENCH_FUSED", "1" if batch <= 5120 else "0")
+                == "1"
+            )
+            extra["tol_img_per_sec"] = round(
+                _bench_throughput(
+                    batch, cycles, remat=remat, fused=tol_fused,
+                    sinkhorn_tol=tol,
+                ),
+                1,
+            )
+            extra["tol_value"] = tol
+        except Exception as e:  # secondary; never sink the headline bench
+            log(f"tol bench failed: {e!r}")
+            extra["tol_error"] = str(e)
+
     # Inception-score eval throughput (reference protocol train.py:245-273:
     # 50 000 generated samples through the frozen classifier, every
     # eval_every epochs x2 for raw+EMA). Times the device-streaming path
