@@ -294,6 +294,15 @@ def main():
     log(f"backend={jax.default_backend()} devices={jax.devices()}")
 
     extra = {}
+    # headline FIRST: the secondary sections below add tens of minutes of
+    # cold compiles — if the harness kills a long run mid-way, the number
+    # that matters must already be in hand (it is re-logged per cycle)
+    fused = os.environ.get("BENCH_FUSED", "1" if batch <= 5120 else "0") == "1"  # >5120 exceeds HBM fused
+    img_per_sec = _bench_throughput(
+        batch, cycles, remat=remat, profile_dir=profile_dir, fused=fused
+    )
+    log(f"HEADLINE b{batch}: {img_per_sec:.1f} img/s/chip")
+
     if small and small != batch:
         extra["small_batch_img_per_sec"] = round(
             _bench_throughput(small, cycles, remat=False), 1
@@ -378,13 +387,9 @@ def main():
     if os.environ.get("BENCH_TOL", "1" if on_tpu else "0") == "1":
         try:
             tol = float(os.environ.get("BENCH_TOL_VALUE", "1e-3"))
-            tol_fused = (
-                os.environ.get("BENCH_FUSED", "1" if batch <= 5120 else "0")
-                == "1"
-            )
             extra["tol_img_per_sec"] = round(
                 _bench_throughput(
-                    batch, cycles, remat=remat, fused=tol_fused,
+                    batch, cycles, remat=remat, fused=fused,
                     sinkhorn_tol=tol,
                 ),
                 1,
@@ -413,11 +418,6 @@ def main():
         except Exception as e:  # secondary; never sink the headline bench
             log(f"inception bench failed: {e!r}")
             extra["inception_error"] = str(e)
-
-    fused = os.environ.get("BENCH_FUSED", "1" if batch <= 5120 else "0") == "1"  # >5120 exceeds HBM fused
-    img_per_sec = _bench_throughput(
-        batch, cycles, remat=remat, profile_dir=profile_dir, fused=fused
-    )
 
     cache = cache_tel.summary()
     log(
