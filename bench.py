@@ -182,9 +182,12 @@ def _bench_inception(num_samples: int) -> float:
     ``num_samples``): DCGAN EMA sampler -> rescale/resize/preprocess ->
     tf2015-variant InceptionV3 -> softmax probs, compile excluded via a
     two-batch warmup."""
+    # classifier batch 1000 measured fastest (1953 img/s vs 1678 at 500
+    # vs ~1190 at the reference's own 100 — per-image probs are batch-
+    # invariant, so this only changes wall time, never the score)
     os.environ.setdefault(
         "OTGAN_INCEPTION_BATCH",
-        os.environ.get("BENCH_INCEPTION_BATCH", "500"),
+        os.environ.get("BENCH_INCEPTION_BATCH", "1000"),
     )
     import jax
     import jax.numpy as jnp
@@ -194,7 +197,8 @@ def _bench_inception(num_samples: int) -> float:
     from otgan_tpu.eval import inception_net
     from otgan_tpu.eval.inception import inception_score_from_sampler
 
-    gen_batch = 500
+    # sampler batch == classifier batch so streaming chunks never pad
+    gen_batch = int(os.environ["OTGAN_INCEPTION_BATCH"])
     cfg = TrainConfig(batch_size=gen_batch, data_dependent_init=False)
     eng = Engine(cfg)
     rng = np.random.default_rng(0)
@@ -407,8 +411,8 @@ def main():
     # side) with random tf2015-variant weights: timing is weight-
     # independent, and no real .pb exists in this zero-egress env.
     # BENCH_INCEPTION=0 skips; BENCH_INCEPTION_SAMPLES (default 50000),
-    # BENCH_INCEPTION_BATCH (default 500 — the measured fast setting;
-    # 100 = the reference's own batch, ~30% slower).
+    # BENCH_INCEPTION_BATCH (default 1000 — the measured-fastest setting,
+    # 1953 img/s classify vs 1678 at 500; 100 = the reference's own batch).
     if os.environ.get("BENCH_INCEPTION", "1" if on_tpu else "0") == "1":
         try:
             n_eval = int(os.environ.get("BENCH_INCEPTION_SAMPLES", "50000"))

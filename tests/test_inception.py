@@ -207,8 +207,14 @@ def test_streaming_sampler_score_matches_host_path(monkeypatch):
     def sampler(seed):
         return batches[seed]
 
+    # default path: on-device split-statistic reduction (f32 accumulation,
+    # ragged splits 4/4/5 exercising the i*n//splits edge assignment)
     mean_s, std_s = inc.inception_score_from_sampler(
         sampler, 13, splits=3, params=params
+    )
+    # opt-out path: host-staged probabilities, float64 reduction
+    mean_f, std_f = inc.inception_score_from_sampler(
+        sampler, 13, splits=3, params=params, device_reduce=False
     )
 
     stacked = 127.5 * (np.concatenate([np.asarray(b) for b in batches]) + 1.0)
@@ -217,3 +223,5 @@ def test_streaming_sampler_score_matches_host_path(monkeypatch):
     )
     np.testing.assert_allclose(mean_s, mean_h, rtol=1e-5)
     np.testing.assert_allclose(std_s, std_h, rtol=1e-4, atol=1e-7)
+    np.testing.assert_allclose(mean_f, mean_h, rtol=1e-6)
+    np.testing.assert_allclose(std_f, std_h, rtol=1e-6, atol=1e-9)
