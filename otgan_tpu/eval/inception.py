@@ -203,19 +203,17 @@ def predict_probs_from_sampler(
     return np.concatenate(probs)[:num_samples]
 
 
-@functools.partial(
-    jax.jit, static_argnames=("variant", "splits", "num_samples")
-)
+@functools.partial(jax.jit, static_argnames=("variant",))
 def _split_accum(
     params,
     x_pm1,
     start,
     real_len,
+    num_samples,
+    upper,
     s1,
     s2,
     variant: str,
-    splits: int,
-    num_samples: int,
 ):
     """Accumulate one generated batch into per-split sufficient statistics.
 
@@ -225,7 +223,10 @@ def _split_accum(
     ``S2 = sum_samples sum_j p_j log p_j`` — both accumulable on device, so
     a full 50 000-sample eval moves ~(splits x classes) floats host-side
     instead of 200 MB of per-sample probabilities (which dominates eval
-    wall time on transfer-limited links)."""
+    wall time on transfer-limited links). ``num_samples`` and the split
+    upper edges are traced (not static) so one compiled program serves
+    every eval size with the same splits count and chunk shape — the
+    bench's small warmup then pre-compiles the real 50k run."""
     p = _preds_pm1(params, x_pm1, variant)
     rows = jnp.arange(p.shape[0])
     gidx = start + rows
@@ -235,11 +236,8 @@ def _split_accum(
     valid = (rows < real_len) & (gidx < num_samples)
     # the reference's split i covers [i*n//splits, (i+1)*n//splits)
     # (utils/inception.py:48) — assign by those exact edges
-    upper = jnp.asarray(
-        [num_samples * (i + 1) // splits for i in range(splits)], jnp.int32
-    )
     sid = jnp.clip(
-        jnp.searchsorted(upper, gidx, side="right"), 0, splits - 1
+        jnp.searchsorted(upper, gidx, side="right"), 0, s1.shape[0] - 1
     )
     pw = jnp.where(valid[:, None], p, 0.0)
     plogp = jnp.where(valid, jnp.sum(p * jnp.log(p), axis=-1), 0.0)
@@ -278,6 +276,10 @@ def inception_score_from_sampler(
     n_classes = int(params["fc"]["b"].shape[0])
     s1 = jnp.zeros((splits, n_classes), jnp.float32)
     s2 = jnp.zeros((splits,), jnp.float32)
+    upper = jnp.asarray(
+        [num_samples * (i + 1) // splits for i in range(splits)], jnp.int32
+    )
+    n_traced = jnp.int32(num_samples)
     got, seed = 0, 0
     while got < num_samples:
         x = sample_fn(seed)
@@ -301,11 +303,11 @@ def inception_score_from_sampler(
                 chunk,
                 jnp.int32(got + i),
                 jnp.int32(real_len),
+                n_traced,
+                upper,
                 s1,
                 s2,
                 variant,
-                splits,
-                num_samples,
             )
         got += b
     s1 = np.asarray(s1, np.float64)
