@@ -81,3 +81,83 @@ def get_fid(
     fa = pool_features(images_a, params=params)
     fb = pool_features(images_b, params=params)
     return frechet_distance(*feature_statistics(fa), *feature_statistics(fb))
+
+
+@functools.partial(jax.jit, static_argnames=("variant",))
+def _pool_accum(params, x_pm1, real_len, s1, s2, n, variant: str):
+    """Accumulate one generated batch into feature sufficient statistics
+    (sum f, sum f^T f, count) on device. Padded rows of a ragged chunk are
+    masked by ``real_len`` so they contribute nothing."""
+    x255 = 127.5 * (x_pm1.astype(jnp.float32) + 1.0)
+    f = inception_net.pool_features(
+        params, preprocess(x255, variant), variant=variant
+    )
+    w = (jnp.arange(f.shape[0]) < real_len).astype(jnp.float32)
+    fw = f * w[:, None]
+    return s1 + fw.sum(axis=0), s2 + fw.T @ fw, n + w.sum()
+
+
+def feature_statistics_from_sampler(
+    sample_fn, num_samples: int, params=None, variant=None
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(mu, sigma) of pool features over generated samples WITHOUT staging
+    features host-side: like ``inception.inception_score_from_sampler``'s
+    device reduction, the sufficient statistics (sum f, sum f^T f) are
+    accumulated on device, so a 50 000-sample pass reads back one
+    2048 x 2048 matrix (~16 MB) instead of ~400 MB of per-sample features.
+    f32 accumulation; agrees with the host-f64 ``feature_statistics`` path
+    to ~1e-4 relative (tested). ``sample_fn(seed) -> (B, H, W, 3)`` device
+    array in [-1, 1] (e.g. ``engine.sample``)."""
+    params = params if params is not None else load_params()
+    variant = variant if variant is not None else get_variant()
+    d = 2048
+    s1 = jnp.zeros((d,), jnp.float32)
+    s2 = jnp.zeros((d, d), jnp.float32)
+    n = jnp.float32(0.0)
+    got, seed = 0, 0
+    while got < num_samples:
+        x = sample_fn(seed)
+        seed += 1
+        b = int(x.shape[0])
+        for i in range(0, b, _BATCH):
+            chunk = x[i : i + _BATCH]
+            # the tail past num_samples is excluded like the score path
+            real_len = min(int(chunk.shape[0]), max(num_samples - got - i, 0))
+            if chunk.shape[0] < _BATCH:
+                chunk = jnp.concatenate(
+                    [
+                        chunk,
+                        jnp.zeros(
+                            (_BATCH - chunk.shape[0],) + tuple(chunk.shape[1:]),
+                            chunk.dtype,
+                        ),
+                    ]
+                )
+            s1, s2, n = _pool_accum(
+                params, chunk, jnp.int32(real_len), s1, s2, n, variant
+            )
+        got += b
+    s1 = np.asarray(s1, np.float64)
+    s2 = np.asarray(s2, np.float64)
+    cnt = float(n)
+    mu = s1 / cnt
+    # np.cov's unbiased (N-1) normalization, from the raw second moment
+    sigma = (s2 - cnt * np.outer(mu, mu)) / (cnt - 1.0)
+    return mu, sigma
+
+
+def fid_from_sampler(
+    sample_fn,
+    num_samples: int,
+    mu_ref: np.ndarray,
+    sigma_ref: np.ndarray,
+    params=None,
+    variant=None,
+) -> float:
+    """FID of generated samples against precomputed reference statistics
+    (e.g. ``feature_statistics(pool_features(real_images))``, computed once
+    per dataset), with the generated side fully device-streamed."""
+    mu, sigma = feature_statistics_from_sampler(
+        sample_fn, num_samples, params=params, variant=variant
+    )
+    return frechet_distance(mu, sigma, mu_ref, sigma_ref)

@@ -191,6 +191,38 @@ def test_fid_end_to_end_random_weights(monkeypatch):
     assert np.isfinite(v_diff) and v_diff >= 0.0
 
 
+def test_fid_sampler_stats_match_host_path(monkeypatch):
+    """Device-reduced feature statistics (sum f / sum f^T f on device) must
+    match pool_features + feature_statistics on identical samples,
+    including ragged chunk padding and the tail past num_samples."""
+    from otgan_tpu.eval import fid as fid_mod
+
+    monkeypatch.setattr(fid_mod, "_BATCH", 4)
+    rng = np.random.default_rng(9)
+    params = inception_net.init_params(rng, num_classes=10)
+    batches = [
+        jnp.asarray(rng.uniform(-1, 1, (5, 16, 16, 3)), jnp.float32)
+        for _ in range(3)
+    ]
+
+    def sampler(seed):
+        return batches[seed]
+
+    mu_s, sig_s = fid_mod.feature_statistics_from_sampler(
+        sampler, 13, params=params
+    )
+
+    stacked = 127.5 * (np.concatenate([np.asarray(b) for b in batches]) + 1.0)
+    feats = fid_mod.pool_features(stacked[:13], params=params)
+    mu_h, sig_h = fid_mod.feature_statistics(feats)
+    np.testing.assert_allclose(mu_s, mu_h, rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(sig_s, sig_h, rtol=1e-3, atol=1e-6)
+
+    # FID against the host-side stats of the same samples ~ 0
+    fid_self = fid_mod.fid_from_sampler(sampler, 13, mu_h, sig_h, params=params)
+    assert abs(fid_self) < 1e-2
+
+
 def test_streaming_sampler_score_matches_host_path(monkeypatch):
     """Device-streaming eval (sampler -> on-device classify) must produce
     the same score as the host-staged reference path on identical samples,
