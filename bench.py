@@ -57,7 +57,9 @@ BENCH_DENSENET_5000 (default 1 on TPU: DenseNet at the reference's OWN
 global batch 5000 on one chip via --grad_accum 40 — previously pod-only;
 r03 measured 670.5 img/s/chip),
 BENCH_PAPER_8000 (default 1 on TPU: DCGAN at the paper's
-model-saving batch 8000 via --grad_accum, see the section comment).
+model-saving batch 8000 via --grad_accum, see the section comment),
+BENCH_FID (default 1 when the inception bench runs: also time the
+one-pass IS+FID scorer and report its overhead vs IS alone).
 """
 
 from __future__ import annotations
@@ -230,7 +232,29 @@ def _bench_inception(num_samples: int) -> float:
         f"[inception] {num_samples} samples in {sec:.1f}s "
         f"({num_samples / sec:.0f} img/s; random-weight score {score:.2f})"
     )
-    return sec
+
+    fid_sec = None
+    if os.environ.get("BENCH_FID", "1") == "1":
+        # --eval_fid's one-pass IS+FID scorer: same trunk forwards plus an
+        # on-device (B,2048)x(2048,B) second-moment accumulation — the bench
+        # verifies the "FID costs ~nothing extra" claim with a number
+        from otgan_tpu.eval.fid import combined_eval_from_sampler
+
+        t0 = time.time()
+        combined_eval_from_sampler(
+            sample_fn, 2 * gen_batch, params=params, variant="tf2015"
+        )
+        log(f"[is+fid] warmup/compile: {time.time() - t0:.1f}s")
+        t0 = time.time()
+        combined_eval_from_sampler(
+            sample_fn, num_samples, params=params, variant="tf2015"
+        )
+        fid_sec = time.time() - t0
+        log(
+            f"[is+fid] {num_samples} samples in {fid_sec:.1f}s "
+            f"({100.0 * (fid_sec - sec) / sec:+.1f}% vs IS alone)"
+        )
+    return sec, fid_sec
 
 
 def _kernel_parity():
@@ -416,9 +440,16 @@ def main():
     if os.environ.get("BENCH_INCEPTION", "1" if on_tpu else "0") == "1":
         try:
             n_eval = int(os.environ.get("BENCH_INCEPTION_SAMPLES", "50000"))
-            sec = _bench_inception(n_eval)
+            sec, fid_sec = _bench_inception(n_eval)
             extra["inception_eval_sec_per_50k"] = round(sec * 50000 / n_eval, 1)
             extra["inception_eval_img_per_sec"] = round(n_eval / sec, 1)
+            if fid_sec is not None:
+                extra["is_fid_eval_sec_per_50k"] = round(
+                    fid_sec * 50000 / n_eval, 1
+                )
+                extra["fid_overhead_pct"] = round(
+                    100.0 * (fid_sec - sec) / sec, 1
+                )
         except Exception as e:  # secondary; never sink the headline bench
             log(f"inception bench failed: {e!r}")
             extra["inception_error"] = str(e)

@@ -52,6 +52,18 @@ class TrainConfig:
     # samples 42 s at 100 vs 32 s at 500 on one v5e chip). 0 = keep the
     # module default / OTGAN_INCEPTION_BATCH env.
     inception_batch: int = 0
+    # also compute FID at every inception eval (raw + EMA). Costs no extra
+    # classifier forwards: the eval switches to the combined one-pass
+    # scorer (eval/fid.combined_eval_from_sampler) — the 2048-d pool
+    # features feed the FID statistics and, through the fc head, the
+    # Inception score. The reference reports IS only (train.py:264-272);
+    # FID is the additive companion metric (SURVEY.md section 7 step 9).
+    eval_fid: bool = False
+    # precomputed real-data statistics (.npz from
+    # eval/fid.save_reference_statistics). "" = compute once from this
+    # run's training data at the first eval and cache to
+    # <save_dir>/fid_stats.npz (chief process only).
+    fid_stats_path: str = ""
     # ---- densenet options (models/densenet.py:7) ----
     layers_per_block: int = 16
     filters_per_layer: int = 16

@@ -251,6 +251,16 @@ class DataLoader:
             )
         return self._cast(self.data[idx].copy())
 
+    def images_255(self, limit: Optional[int] = None) -> np.ndarray:
+        """This process's shard as NHWC images in uint8 range [0, 255]
+        (unshuffled, unaugmented) — the real side of FID statistics. In a
+        pod each process sees only its own slice; precompute global
+        statistics offline (``--fid_stats_path``) when that matters."""
+        n = self.data.shape[0] if limit is None else min(limit, self.data.shape[0])
+        if self._u8:
+            return self.data[:n]
+        return (np.asarray(self.data[:n], np.float32) + 1.0) * 127.5
+
     def epoch(self) -> Iterator[np.ndarray]:
         """One pass over the data with background batch assembly.
 

@@ -19,7 +19,26 @@ import jax.numpy as jnp
 import numpy as np
 
 from otgan_tpu.eval import inception_net
-from otgan_tpu.eval.inception import get_variant, load_params, preprocess, _BATCH
+from otgan_tpu.eval.inception import (
+    _BATCH,
+    _finalize_split_scores,
+    _split_update,
+    get_variant,
+    load_params,
+    preprocess,
+)
+
+
+def _serialize_on_cpu(x):
+    """On CPU meshes, wait for each eval dispatch before issuing the next:
+    XLA:CPU's in-process collectives deadlock when two executables'
+    per-device invocations interleave (the train loop applies the same
+    guard, train.py) — the 2048x2048 feature accumulation is the first
+    eval program big enough for GSPMD to partition with collectives. On
+    TPU this is skipped so generation and classification keep overlapping."""
+    if jax.default_backend() == "cpu":
+        jax.block_until_ready(x)
+    return x
 
 
 @functools.partial(jax.jit, static_argnames=("variant",))
@@ -116,7 +135,7 @@ def feature_statistics_from_sampler(
     n = jnp.float32(0.0)
     got, seed = 0, 0
     while got < num_samples:
-        x = sample_fn(seed)
+        x = _serialize_on_cpu(sample_fn(seed))
         seed += 1
         b = int(x.shape[0])
         for i in range(0, b, _BATCH):
@@ -136,6 +155,7 @@ def feature_statistics_from_sampler(
             s1, s2, n = _pool_accum(
                 params, chunk, jnp.int32(real_len), s1, s2, n, variant
             )
+            _serialize_on_cpu(n)
         got += b
     s1 = np.asarray(s1, np.float64)
     s2 = np.asarray(s2, np.float64)
@@ -144,6 +164,136 @@ def feature_statistics_from_sampler(
     # np.cov's unbiased (N-1) normalization, from the raw second moment
     sigma = (s2 - cnt * np.outer(mu, mu)) / (cnt - 1.0)
     return mu, sigma
+
+
+@functools.partial(jax.jit, static_argnames=("variant",))
+def _combined_accum(
+    params, x_pm1, start, real_len, num_samples, upper, s1, s2, f1, f2, fn,
+    variant: str,
+):
+    """One forward pass, both metrics: the 2048-d pool features feed the
+    FID sufficient statistics directly AND (through the fc head) the
+    split-KL statistics of the Inception score — evaluating IS+FID costs
+    the same trunk compute as IS alone (the fc matmul is 2048 x classes,
+    noise next to the InceptionV3 trunk)."""
+    x255 = 127.5 * (x_pm1.astype(jnp.float32) + 1.0)
+    f = inception_net.pool_features(
+        params, preprocess(x255, variant), variant=variant
+    )
+    logits = f @ params["fc"]["w"] + params["fc"]["b"]
+    p = jax.nn.softmax(logits, axis=-1)
+    s1, s2, valid = _split_update(
+        p, start, real_len, num_samples, upper, s1, s2
+    )
+    w = valid.astype(jnp.float32)
+    fw = f * w[:, None]
+    return s1, s2, f1 + fw.sum(axis=0), f2 + fw.T @ fw, fn + w.sum()
+
+
+def combined_eval_from_sampler(
+    sample_fn,
+    num_samples: int,
+    splits: int = 10,
+    params=None,
+    variant=None,
+) -> Tuple[Tuple[float, float], Tuple[np.ndarray, np.ndarray]]:
+    """Device-streaming Inception score AND FID feature statistics from
+    ONE pass over the generated samples: returns
+    ``((is_mean, is_std), (mu, sigma))``. Protocol and masking semantics
+    identical to ``inception.inception_score_from_sampler`` (device_reduce
+    path) and ``feature_statistics_from_sampler`` run separately — but the
+    InceptionV3 trunk runs once instead of twice."""
+    params = params if params is not None else load_params()
+    variant = variant if variant is not None else get_variant()
+    n_classes = int(params["fc"]["b"].shape[0])
+    s1 = jnp.zeros((splits, n_classes), jnp.float32)
+    s2 = jnp.zeros((splits,), jnp.float32)
+    d = int(params["fc"]["w"].shape[0])
+    f1 = jnp.zeros((d,), jnp.float32)
+    f2 = jnp.zeros((d, d), jnp.float32)
+    fn = jnp.float32(0.0)
+    upper = jnp.asarray(
+        [num_samples * (i + 1) // splits for i in range(splits)], jnp.int32
+    )
+    n_traced = jnp.int32(num_samples)
+    got, seed = 0, 0
+    while got < num_samples:
+        x = _serialize_on_cpu(sample_fn(seed))
+        seed += 1
+        b = int(x.shape[0])
+        for i in range(0, b, _BATCH):
+            chunk = x[i : i + _BATCH]
+            real_len = int(chunk.shape[0])
+            if chunk.shape[0] < _BATCH:
+                chunk = jnp.concatenate(
+                    [
+                        chunk,
+                        jnp.zeros(
+                            (_BATCH - chunk.shape[0],) + tuple(chunk.shape[1:]),
+                            chunk.dtype,
+                        ),
+                    ]
+                )
+            s1, s2, f1, f2, fn = _combined_accum(
+                params,
+                chunk,
+                jnp.int32(got + i),
+                jnp.int32(real_len),
+                n_traced,
+                upper,
+                s1,
+                s2,
+                f1,
+                f2,
+                fn,
+                variant,
+            )
+            _serialize_on_cpu(fn)
+        got += b
+    is_mean, is_std = _finalize_split_scores(s1, s2, num_samples, splits)
+    f1 = np.asarray(f1, np.float64)
+    f2 = np.asarray(f2, np.float64)
+    cnt = float(fn)
+    mu = f1 / cnt
+    sigma = (f2 - cnt * np.outer(mu, mu)) / (cnt - 1.0)
+    return (is_mean, is_std), (mu, sigma)
+
+
+def reference_statistics(
+    images_255: np.ndarray, params=None, variant=None
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(mu, sigma) of a stack of REAL images in uint8 range — the fixed
+    side of the FID comparison, computed once per dataset."""
+    feats = pool_features(
+        np.asarray(images_255, np.float32), params=params, variant=variant
+    )
+    return feature_statistics(feats)
+
+
+def save_reference_statistics(
+    path: str, mu: np.ndarray, sigma: np.ndarray, variant: str, count: int
+) -> None:
+    """Persist dataset FID statistics (with the weight variant they were
+    computed under — mixing variants silently breaks the comparison)."""
+    np.savez_compressed(
+        path, mu=mu, sigma=sigma,
+        variant=np.frombuffer(variant.encode("utf-8"), np.uint8),
+        count=np.int64(count),
+    )
+
+
+def load_reference_statistics(
+    path: str, expect_variant: Optional[str] = None
+) -> Tuple[np.ndarray, np.ndarray]:
+    with np.load(path) as data:
+        variant = bytes(data["variant"]).decode("utf-8")
+        if expect_variant is not None and variant != expect_variant:
+            raise ValueError(
+                f"FID reference statistics at {path} were computed with "
+                f"variant '{variant}' but the loaded weights are "
+                f"'{expect_variant}' — recompute them (delete the file)"
+            )
+        return data["mu"], data["sigma"]
 
 
 def fid_from_sampler(

@@ -203,6 +203,28 @@ def predict_probs_from_sampler(
     return np.concatenate(probs)[:num_samples]
 
 
+def _split_update(p, start, real_len, num_samples, upper, s1, s2):
+    """Traceable core of the device split-KL reduction: fold one chunk of
+    probabilities into the per-split sufficient statistics. Shared by the
+    IS-only accumulator below and the combined IS+FID accumulator
+    (``fid._combined_accum``). Also returns the chunk's validity mask so
+    callers can weight companion statistics identically."""
+    rows = jnp.arange(p.shape[0])
+    gidx = start + rows
+    # mask BOTH the zero-padding of a ragged chunk (rows >= real_len get
+    # global indices that belong to the NEXT batch's real samples — without
+    # this they double-count) and any overrun past num_samples
+    valid = (rows < real_len) & (gidx < num_samples)
+    # the reference's split i covers [i*n//splits, (i+1)*n//splits)
+    # (utils/inception.py:48) — assign by those exact edges
+    sid = jnp.clip(
+        jnp.searchsorted(upper, gidx, side="right"), 0, s1.shape[0] - 1
+    )
+    pw = jnp.where(valid[:, None], p, 0.0)
+    plogp = jnp.where(valid, jnp.sum(p * jnp.log(p), axis=-1), 0.0)
+    return s1.at[sid].add(pw), s2.at[sid].add(plogp), valid
+
+
 @functools.partial(jax.jit, static_argnames=("variant",))
 def _split_accum(
     params,
@@ -228,20 +250,8 @@ def _split_accum(
     every eval size with the same splits count and chunk shape — the
     bench's small warmup then pre-compiles the real 50k run."""
     p = _preds_pm1(params, x_pm1, variant)
-    rows = jnp.arange(p.shape[0])
-    gidx = start + rows
-    # mask BOTH the zero-padding of a ragged chunk (rows >= real_len get
-    # global indices that belong to the NEXT batch's real samples — without
-    # this they double-count) and any overrun past num_samples
-    valid = (rows < real_len) & (gidx < num_samples)
-    # the reference's split i covers [i*n//splits, (i+1)*n//splits)
-    # (utils/inception.py:48) — assign by those exact edges
-    sid = jnp.clip(
-        jnp.searchsorted(upper, gidx, side="right"), 0, s1.shape[0] - 1
-    )
-    pw = jnp.where(valid[:, None], p, 0.0)
-    plogp = jnp.where(valid, jnp.sum(p * jnp.log(p), axis=-1), 0.0)
-    return s1.at[sid].add(pw), s2.at[sid].add(plogp)
+    s1, s2, _ = _split_update(p, start, real_len, num_samples, upper, s1, s2)
+    return s1, s2
 
 
 def inception_score_from_sampler(
@@ -310,6 +320,16 @@ def inception_score_from_sampler(
                 variant,
             )
         got += b
+    return _finalize_split_scores(s1, s2, num_samples, splits)
+
+
+def _finalize_split_scores(
+    s1, s2, num_samples: int, splits: int
+) -> Tuple[float, float]:
+    """(mean, std) of the split scores from the device-accumulated
+    sufficient statistics — the reference's exact per-split mean KL as
+    ``(S2 - sum_j S1_j log(S1_j / n)) / n`` (``utils/inception.py:46-52``),
+    finalized host-side in float64."""
     s1 = np.asarray(s1, np.float64)
     s2 = np.asarray(s2, np.float64)
     # per-split sample counts from the reference's exact i*n//splits edges

@@ -367,7 +367,8 @@ def train(cfg: TrainConfig) -> TrainState:
             and epoch != start_epoch
         ):
             best = _maybe_inception_eval(
-                cfg, engine, state, logger, step_counter
+                cfg, engine, state, logger, step_counter,
+                loader=loader, is_chief=is_chief,
             )
             if best is not None and best > max_inception_score:
                 max_inception_score, max_inception_epoch = best, epoch
@@ -431,7 +432,39 @@ def train(cfg: TrainConfig) -> TrainState:
     return state
 
 
-def _maybe_inception_eval(cfg, engine, state, logger, step_counter):
+def _fid_reference_stats(cfg, loader, is_chief):
+    """(mu, sigma) of the real data for the FID comparison: loaded from
+    ``--fid_stats_path`` (or the run's cached copy) when present, computed
+    once from this run's training data otherwise and cached to
+    ``<save_dir>/fid_stats.npz``. In a pod each process computes over its
+    own data shard — pass precomputed global statistics when exact
+    full-dataset statistics matter."""
+    from otgan_tpu.eval import fid as fid_mod
+    from otgan_tpu.eval.inception import get_variant
+
+    path = cfg.fid_stats_path or os.path.join(cfg.save_dir, "fid_stats.npz")
+    if os.path.exists(path):
+        try:
+            return fid_mod.load_reference_statistics(
+                path, expect_variant=get_variant()
+            )
+        except ValueError as e:
+            print(f"recomputing FID reference statistics: {e}")
+    imgs = loader.images_255()
+    print(
+        f"computing FID reference statistics over {imgs.shape[0]} real images"
+    )
+    mu, sigma = fid_mod.reference_statistics(imgs)
+    if is_chief:
+        fid_mod.save_reference_statistics(
+            path, mu, sigma, get_variant(), imgs.shape[0]
+        )
+    return mu, sigma
+
+
+def _maybe_inception_eval(
+    cfg, engine, state, logger, step_counter, loader=None, is_chief=True
+):
     try:
         from otgan_tpu.eval.inception import (
             inception_score_from_sampler,
@@ -453,6 +486,13 @@ def _maybe_inception_eval(cfg, engine, state, logger, step_counter):
         import otgan_tpu.eval.inception as _inc
 
         _inc._BATCH = cfg.inception_batch
+        if cfg.eval_fid:
+            import otgan_tpu.eval.fid as _fid
+
+            _fid._BATCH = cfg.inception_batch
+    ref_stats = None
+    if cfg.eval_fid and loader is not None:
+        ref_stats = _fid_reference_stats(cfg, loader, is_chief)
     best = None
     for ema in (False, True):
         # generation + classification run fused on-device; only the class
@@ -463,10 +503,25 @@ def _maybe_inception_eval(cfg, engine, state, logger, step_counter):
                 state, jax.random.PRNGKey(10_000 + seed), cfg.batch_size, _ema
             )
 
-        mean, std = inception_score_from_sampler(
-            sampler, cfg.inception_samples, splits=cfg.inception_splits
-        )
         tag = "ema_" if ema else ""
+        if ref_stats is not None:
+            # one pass, both metrics: the pool features feed FID and (via
+            # the fc head) the split-KL Inception score
+            from otgan_tpu.eval.fid import (
+                combined_eval_from_sampler,
+                frechet_distance,
+            )
+
+            (mean, std), (mu, sigma) = combined_eval_from_sampler(
+                sampler, cfg.inception_samples, splits=cfg.inception_splits
+            )
+            fid_val = frechet_distance(mu, sigma, *ref_stats)
+            logger.log(step_counter, **{f"{tag}fid": fid_val})
+            print(f"{'EMA ' if ema else ''}FID was {fid_val:.4f}")
+        else:
+            mean, std = inception_score_from_sampler(
+                sampler, cfg.inception_samples, splits=cfg.inception_splits
+            )
         logger.log(
             step_counter,
             **{f"{tag}inception_score": mean, f"{tag}inception_std": std},

@@ -223,6 +223,55 @@ def test_fid_sampler_stats_match_host_path(monkeypatch):
     assert abs(fid_self) < 1e-2
 
 
+def test_combined_eval_matches_separate_paths(monkeypatch):
+    """The one-pass IS+FID scorer must reproduce BOTH the device-reduce
+    Inception score and the streamed FID statistics computed separately on
+    identical samples (shared trunk, same masking semantics)."""
+    from otgan_tpu.eval import fid as fid_mod
+
+    monkeypatch.setattr(fid_mod, "_BATCH", 4)
+    monkeypatch.setattr(inc, "_BATCH", 4)
+    rng = np.random.default_rng(3)
+    params = inception_net.init_params(rng, num_classes=7)
+    batches = [
+        jnp.asarray(rng.uniform(-1, 1, (5, 16, 16, 3)), jnp.float32)
+        for _ in range(3)
+    ]
+
+    def sampler(seed):
+        return batches[seed]
+
+    (m_c, s_c), (mu_c, sig_c) = fid_mod.combined_eval_from_sampler(
+        sampler, 13, splits=3, params=params
+    )
+    m_i, s_i = inc.inception_score_from_sampler(
+        sampler, 13, splits=3, params=params, device_reduce=True
+    )
+    mu_f, sig_f = fid_mod.feature_statistics_from_sampler(
+        sampler, 13, params=params
+    )
+    np.testing.assert_allclose(m_c, m_i, rtol=1e-6)
+    np.testing.assert_allclose(s_c, s_i, rtol=1e-5, atol=1e-9)
+    np.testing.assert_allclose(mu_c, mu_f, rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(sig_c, sig_f, rtol=1e-4, atol=1e-7)
+
+
+def test_reference_statistics_roundtrip(tmp_path):
+    """save/load of dataset FID statistics preserves values and enforces
+    the weight-variant guard."""
+    from otgan_tpu.eval import fid as fid_mod
+
+    mu = np.arange(4, dtype=np.float64)
+    sigma = np.eye(4) * 2.0
+    p = str(tmp_path / "stats.npz")
+    fid_mod.save_reference_statistics(p, mu, sigma, "tf2015", 50000)
+    mu2, sig2 = fid_mod.load_reference_statistics(p, expect_variant="tf2015")
+    np.testing.assert_array_equal(mu, mu2)
+    np.testing.assert_array_equal(sigma, sig2)
+    with pytest.raises(ValueError, match="variant"):
+        fid_mod.load_reference_statistics(p, expect_variant="torchvision")
+
+
 def test_streaming_sampler_score_matches_host_path(monkeypatch):
     """Device-streaming eval (sampler -> on-device classify) must produce
     the same score as the host-staged reference path on identical samples,

@@ -286,6 +286,58 @@ def test_inception_eval_running_max_in_train(tmp_path, monkeypatch):
     assert mx[0]["max_inception_epoch"] == 1
 
 
+def test_fid_eval_in_train(tmp_path, monkeypatch):
+    """--eval_fid: the eval event computes real-data reference statistics
+    once (cached to <save_dir>/fid_stats.npz), switches to the one-pass
+    combined scorer, and logs raw+EMA FID alongside the Inception score."""
+    from otgan_tpu.train import train
+    import otgan_tpu.eval.inception as inc
+    import otgan_tpu.eval.fid as fid_mod
+    from otgan_tpu.eval import inception_net
+
+    monkeypatch.setattr(
+        inc,
+        "_params_cache",
+        inception_net.init_params(np.random.default_rng(0), num_classes=8),
+    )
+    monkeypatch.setattr(inc, "_variant_cache", "torchvision")
+    monkeypatch.setattr(inc, "_BATCH", 2)
+    monkeypatch.setattr(fid_mod, "_BATCH", 2)
+
+    cfg = TrainConfig(
+        model="densenet",  # tiny — the full DCGAN takes minutes/step on CPU
+        layers_per_block=1,
+        filters_per_layer=4,
+        synthetic_data=True,
+        synthetic_size=16,
+        batch_size=8,
+        sinkhorn_lambda=50.0,
+        nr_sinkhorn_iter=5,
+        max_epochs=2,
+        eval_every_epochs=2,
+        inception_samples=4,
+        inception_splits=2,
+        eval_fid=True,
+        save_every_epochs=100,
+        save_dir=str(tmp_path),
+        use_pallas=False,
+    )
+    train(cfg)
+    stats_path = os.path.join(str(tmp_path), "fid_stats.npz")
+    assert os.path.exists(stats_path), "reference statistics not cached"
+    mu, sigma = fid_mod.load_reference_statistics(
+        stats_path, expect_variant="torchvision"
+    )
+    assert mu.shape == (2048,) and sigma.shape == (2048, 2048)
+    recs = [json.loads(l) for l in open(os.path.join(tmp_path, "metrics.jsonl"))]
+    fids = [r for r in recs if "fid" in r]
+    ema_fids = [r for r in recs if "ema_fid" in r]
+    scores = [r for r in recs if "inception_score" in r]
+    assert len(fids) == 1 and len(ema_fids) == 1 and len(scores) == 1
+    assert np.isfinite(fids[0]["fid"]) and fids[0]["fid"] >= 0.0
+    assert np.isfinite(ema_fids[0]["ema_fid"])
+
+
 def test_train_resume_with_padded_halves_matcher(tmp_path):
     """Full driver E2E on the padded-halves row-sharded path (batch 40 on
     the 8-device mesh: half 20, 20 % 8 != 0) incl. exact save/resume — the
