@@ -18,15 +18,25 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from otgan_tpu.eval import inception as _inception
 from otgan_tpu.eval import inception_net
 from otgan_tpu.eval.inception import (
     _BATCH,
     _finalize_split_scores,
     _split_update,
-    get_variant,
-    load_params,
     preprocess,
 )
+
+
+def load_params(path=None):
+    """Late-bound: tests and the trainer monkeypatch
+    ``inception.load_params`` / ``_params_cache``; a by-name import here
+    would freeze the original and miss the patch."""
+    return _inception.load_params(path)
+
+
+def get_variant():
+    return _inception.get_variant()
 
 
 def _serialize_on_cpu(x):
@@ -274,12 +284,19 @@ def save_reference_statistics(
     path: str, mu: np.ndarray, sigma: np.ndarray, variant: str, count: int
 ) -> None:
     """Persist dataset FID statistics (with the weight variant they were
-    computed under — mixing variants silently breaks the comparison)."""
+    computed under — mixing variants silently breaks the comparison).
+    Atomic (tmp + rename): in a pod, non-chief processes poll the path
+    and must never observe a half-written archive."""
+    import os
+
+    tmp = f"{path}.tmp.{os.getpid()}"
     np.savez_compressed(
-        path, mu=mu, sigma=sigma,
+        tmp, mu=mu, sigma=sigma,
         variant=np.frombuffer(variant.encode("utf-8"), np.uint8),
         count=np.int64(count),
     )
+    # savez appends .npz when missing; the pid suffix has no extension
+    os.replace(tmp if os.path.exists(tmp) else f"{tmp}.npz", path)
 
 
 def load_reference_statistics(

@@ -138,9 +138,11 @@ def test_two_process_inception_eval(tmp_path):
     pre = (
         "import numpy as _np;"
         "import otgan_tpu.eval.inception as _inc;"
+        "import otgan_tpu.eval.fid as _fid;"
         "from otgan_tpu.eval import inception_net as _inet;"
         "_inc._variant_cache = 'torchvision';"
         "_inc._BATCH = 2;"
+        "_fid._BATCH = 2;"
         "_inc.load_params = lambda path=None: _inc.__dict__.setdefault("
         "'_lazy_p', _inet.init_params(_np.random.default_rng(0),"
         " num_classes=8));"
@@ -158,6 +160,7 @@ def test_two_process_inception_eval(tmp_path):
         "--eval_every_epochs", "2",  # fires at epoch 1
         "--inception_samples", "4",
         "--inception_splits", "2",
+        "--eval_fid",  # pod FID: per-process real stats, chief-only cache
         "--save_every_epochs", "100",
         "--save_dir", save_dir,
         "--no_use_pallas",
@@ -183,3 +186,12 @@ def test_two_process_inception_eval(tmp_path):
     assert len(scored) == 1 and len(ema_scored) == 1, recs
     assert np.isfinite(scored[0]["inception_score"])
     assert 1.0 <= scored[0]["inception_score"] <= 8.0  # bounded by classes
+
+    # --eval_fid in the pod: every process runs the combined scorer (the
+    # sampling is collective), only the chief logs FID and caches the
+    # real-data statistics
+    fids = [r for r in recs if "fid" in r]
+    ema_fids = [r for r in recs if "ema_fid" in r]
+    assert len(fids) == 1 and len(ema_fids) == 1, recs
+    assert np.isfinite(fids[0]["fid"]) and fids[0]["fid"] >= 0.0
+    assert os.path.exists(os.path.join(save_dir, "fid_stats.npz"))
