@@ -313,6 +313,56 @@ def load_reference_statistics(
         return data["mu"], data["sigma"]
 
 
+def main(argv=None) -> None:
+    """Precompute dataset FID reference statistics offline:
+
+        python -m otgan_tpu.eval.fid --data_dir /data --out fid_stats.npz
+
+    The emitted .npz feeds ``--fid_stats_path`` — the right workflow for
+    pods, where per-process in-run computation would otherwise see only
+    its own data shard (train.py:_fid_reference_stats). Accepts the CIFAR
+    pickle layout (``--data_dir``, reference data/cifar10_data.py:29-53)
+    or any image stack (``--images`` .npy/.npz, NHWC or NCHW, uint8 or
+    [0,255] float)."""
+    import argparse
+
+    ap = argparse.ArgumentParser(description=main.__doc__)
+    ap.add_argument("--data_dir", default="", help="CIFAR-10 directory")
+    ap.add_argument("--subset", default="train", choices=("train", "test"))
+    ap.add_argument(
+        "--images", default="",
+        help=".npy/.npz image stack instead of --data_dir",
+    )
+    ap.add_argument("--out", required=True)
+    ap.add_argument(
+        "--limit", type=int, default=0, help="use only the first N images"
+    )
+    args = ap.parse_args(argv)
+    if bool(args.data_dir) == bool(args.images):
+        ap.error("pass exactly one of --data_dir / --images")
+    if args.images:
+        arr = np.load(args.images)
+        if hasattr(arr, "files"):  # npz: take the first array
+            arr = arr[arr.files[0]]
+        imgs = np.asarray(arr, np.float32)
+    else:
+        from otgan_tpu.data.cifar10 import load
+
+        x, _ = load(args.data_dir, subset=args.subset)
+        imgs = np.transpose(x, (0, 2, 3, 1)).astype(np.float32)
+    if imgs.ndim != 4:
+        raise ValueError(f"expected NHWC/NCHW images, got shape {imgs.shape}")
+    if imgs.shape[1] == 3 and imgs.shape[-1] != 3:  # NCHW -> NHWC
+        imgs = np.transpose(imgs, (0, 2, 3, 1))
+    if args.limit:
+        imgs = imgs[: args.limit]
+    variant = get_variant()
+    print(f"computing FID statistics over {imgs.shape[0]} images ({variant})")
+    mu, sigma = reference_statistics(imgs)
+    save_reference_statistics(args.out, mu, sigma, variant, imgs.shape[0])
+    print(f"wrote {args.out} (mu {mu.shape}, sigma {sigma.shape})")
+
+
 def fid_from_sampler(
     sample_fn,
     num_samples: int,
@@ -328,3 +378,7 @@ def fid_from_sampler(
         sample_fn, num_samples, params=params, variant=variant
     )
     return frechet_distance(mu, sigma, mu_ref, sigma_ref)
+
+
+if __name__ == "__main__":
+    main()

@@ -272,6 +272,35 @@ def test_reference_statistics_roundtrip(tmp_path):
         fid_mod.load_reference_statistics(p, expect_variant="torchvision")
 
 
+def test_fid_stats_cli(tmp_path, monkeypatch):
+    """``python -m otgan_tpu.eval.fid`` precomputes dataset statistics
+    from an image stack (--images) usable as --fid_stats_path: NCHW input
+    is transposed, --limit honored, the variant is pinned in the output."""
+    from otgan_tpu.eval import fid as fid_mod
+
+    params = inception_net.init_params(np.random.default_rng(0), num_classes=5)
+    monkeypatch.setattr(inc, "_params_cache", params)
+    monkeypatch.setattr(inc, "_variant_cache", "torchvision")
+    monkeypatch.setattr(fid_mod, "_BATCH", 4)
+    rng = np.random.default_rng(1)
+    imgs = rng.integers(0, 256, (7, 3, 16, 16), np.uint8)  # NCHW on purpose
+    src = str(tmp_path / "imgs.npy")
+    np.save(src, imgs)
+    out = str(tmp_path / "stats.npz")
+    fid_mod.main(["--images", src, "--out", out, "--limit", "6"])
+    mu, sigma = fid_mod.load_reference_statistics(
+        out, expect_variant="torchvision"
+    )
+    assert mu.shape == (2048,) and sigma.shape == (2048, 2048)
+    ref = fid_mod.reference_statistics(
+        np.transpose(imgs[:6], (0, 2, 3, 1)).astype(np.float32), params=params
+    )
+    np.testing.assert_allclose(mu, ref[0], rtol=1e-6)
+    np.testing.assert_allclose(sigma, ref[1], rtol=1e-5, atol=1e-8)
+    with np.load(out) as data:
+        assert int(data["count"]) == 6
+
+
 def test_streaming_sampler_score_matches_host_path(monkeypatch):
     """Device-streaming eval (sampler -> on-device classify) must produce
     the same score as the host-staged reference path on identical samples,
