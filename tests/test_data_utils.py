@@ -59,6 +59,30 @@ def test_dataloader_epochs(tmp_path):
     assert not np.array_equal(batches[0], b2[0])
 
 
+def test_images_255_both_storage_dtypes(tmp_path):
+    """images_255 (the real side of FID statistics) returns identical
+    uint8-range NHWC pixels whether the loader stores uint8 (native path)
+    or float32 [-1,1] (reference layout), honoring limit."""
+    raw = _fake_cifar(16)  # NCHW uint8
+    nhwc_u8 = np.transpose(raw, (0, 2, 3, 1))
+    dl_u8 = DataLoader(
+        str(tmp_path), batch_size=4, data=nhwc_u8,
+        rng=np.random.default_rng(0),
+    )
+    dl_f32 = DataLoader(
+        str(tmp_path), batch_size=4, data=to_nhwc_float(raw),
+        rng=np.random.default_rng(0),
+    )
+    a = dl_u8.images_255()
+    b = dl_f32.images_255()
+    assert a.shape == b.shape == (16, 32, 32, 3)
+    np.testing.assert_allclose(
+        np.asarray(a, np.float32), b, atol=1e-3
+    )
+    assert dl_u8.images_255(limit=5).shape[0] == 5
+    assert dl_f32.images_255(limit=99).shape[0] == 16  # clamped to rows
+
+
 def test_toy_data():
     rng = np.random.default_rng(3)
     x = sample_8gaussians(rng, 4096)
