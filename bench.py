@@ -179,11 +179,12 @@ def _bench_throughput(
     return per_cycle * batch / sec_per_cycle / n_chips
 
 
-def _bench_inception(num_samples: int) -> float:
-    """Time the device-streaming Inception eval (seconds for
-    ``num_samples``): DCGAN EMA sampler -> rescale/resize/preprocess ->
-    tf2015-variant InceptionV3 -> softmax probs, compile excluded via a
-    two-batch warmup."""
+def _bench_inception(num_samples: int):
+    """Time the device-streaming evals: returns ``(is_sec, fid_sec)`` —
+    seconds for ``num_samples`` through the IS-only scorer and through the
+    one-pass IS+FID scorer (``fid_sec`` is None when BENCH_FID=0). DCGAN
+    EMA sampler -> rescale/resize/preprocess -> tf2015-variant InceptionV3,
+    compile excluded via a two-batch warmup."""
     # classifier batch 1000 measured fastest (1953 img/s vs 1678 at 500
     # vs ~1190 at the reference's own 100 — per-image probs are batch-
     # invariant, so this only changes wall time, never the score)

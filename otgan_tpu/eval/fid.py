@@ -12,6 +12,7 @@ score (``inception_net.apply`` stopped at the pool layer).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -273,10 +274,10 @@ def reference_statistics(
     images_255: np.ndarray, params=None, variant=None
 ) -> Tuple[np.ndarray, np.ndarray]:
     """(mu, sigma) of a stack of REAL images in uint8 range — the fixed
-    side of the FID comparison, computed once per dataset."""
-    feats = pool_features(
-        np.asarray(images_255, np.float32), params=params, variant=variant
-    )
+    side of the FID comparison, computed once per dataset.
+    ``pool_features`` casts per chunk; casting the whole stack here would
+    materialize a ~600 MB transient for the 50k uint8 CIFAR train set."""
+    feats = pool_features(images_255, params=params, variant=variant)
     return feature_statistics(feats)
 
 
@@ -285,10 +286,8 @@ def save_reference_statistics(
 ) -> None:
     """Persist dataset FID statistics (with the weight variant they were
     computed under — mixing variants silently breaks the comparison).
-    Atomic (tmp + rename): in a pod, non-chief processes poll the path
-    and must never observe a half-written archive."""
-    import os
-
+    Atomic (tmp + rename): in a pod, non-chief processes may read the
+    path at a later eval and must never observe a half-written archive."""
     tmp = f"{path}.tmp.{os.getpid()}"
     np.savez_compressed(
         tmp, mu=mu, sigma=sigma,
@@ -348,8 +347,13 @@ def main(argv=None) -> None:
     else:
         from otgan_tpu.data.cifar10 import load
 
-        x, _ = load(args.data_dir, subset=args.subset)
-        imgs = np.transpose(x, (0, 2, 3, 1)).astype(np.float32)
+        # same directory convention as the trainer's DataLoader
+        # (cifar10.py): <data_dir>/cifar-10-python/cifar-10-batches-py
+        x, _ = load(
+            os.path.join(args.data_dir, "cifar-10-python"),
+            subset=args.subset,
+        )
+        imgs = np.transpose(x, (0, 2, 3, 1))
     if imgs.ndim != 4:
         raise ValueError(f"expected NHWC/NCHW images, got shape {imgs.shape}")
     if imgs.shape[1] == 3 and imgs.shape[-1] != 3:  # NCHW -> NHWC

@@ -432,34 +432,61 @@ def train(cfg: TrainConfig) -> TrainState:
     return state
 
 
+# per-process memo so non-chief pod processes (which may never see the
+# chief's cached file on a non-shared filesystem) compute their shard
+# statistics once per run, not once per eval event
+_FID_STATS_MEMO: dict = {}
+
+
 def _fid_reference_stats(cfg, loader, is_chief):
-    """(mu, sigma) of the real data for the FID comparison: loaded from
-    ``--fid_stats_path`` (or the run's cached copy) when present, computed
-    once from this run's training data otherwise and cached to
-    ``<save_dir>/fid_stats.npz``. In a pod each process computes over its
-    own data shard — pass precomputed global statistics when exact
-    full-dataset statistics matter."""
+    """(mu, sigma) of the real data for the FID comparison, or ``None`` to
+    skip FID this run. Loaded from ``--fid_stats_path`` (or the run's
+    cached copy) when present, computed once from this run's training data
+    otherwise and cached to ``<save_dir>/fid_stats.npz``. An EXPLICIT
+    ``--fid_stats_path`` that exists but cannot be used (wrong weight
+    variant, foreign/corrupt archive) disables FID with a loud message —
+    it is never overwritten and never silently replaced by shard-local
+    statistics. In a pod each process computes over its own data shard —
+    precompute global statistics (``python -m otgan_tpu.eval.fid``) when
+    exact full-dataset statistics matter."""
     from otgan_tpu.eval import fid as fid_mod
     from otgan_tpu.eval.inception import get_variant
 
+    user_path = bool(cfg.fid_stats_path)
     path = cfg.fid_stats_path or os.path.join(cfg.save_dir, "fid_stats.npz")
+    if path in _FID_STATS_MEMO:
+        return _FID_STATS_MEMO[path]
+    stats = None
     if os.path.exists(path):
+        # any load failure (variant mismatch ValueError, foreign npz
+        # KeyError, truncated archive BadZipFile/OSError) must not abort
+        # a long training run at its first eval event
         try:
-            return fid_mod.load_reference_statistics(
+            stats = fid_mod.load_reference_statistics(
                 path, expect_variant=get_variant()
             )
-        except ValueError as e:
-            print(f"recomputing FID reference statistics: {e}")
-    imgs = loader.images_255()
-    print(
-        f"computing FID reference statistics over {imgs.shape[0]} real images"
-    )
-    mu, sigma = fid_mod.reference_statistics(imgs)
-    if is_chief:
-        fid_mod.save_reference_statistics(
-            path, mu, sigma, get_variant(), imgs.shape[0]
+        except Exception as e:
+            if user_path:
+                print(
+                    f"cannot use --fid_stats_path {path}: {e!r} — "
+                    "FID disabled for this run (file left untouched)"
+                )
+                _FID_STATS_MEMO[path] = None
+                return None
+            print(f"recomputing FID reference statistics: {e!r}")
+    if stats is None:
+        imgs = loader.images_255()
+        print(
+            f"computing FID reference statistics over {imgs.shape[0]} "
+            "real images"
         )
-    return mu, sigma
+        stats = fid_mod.reference_statistics(imgs)
+        if is_chief:
+            fid_mod.save_reference_statistics(
+                path, stats[0], stats[1], get_variant(), imgs.shape[0]
+            )
+    _FID_STATS_MEMO[path] = stats
+    return stats
 
 
 def _maybe_inception_eval(
@@ -504,7 +531,28 @@ def _maybe_inception_eval(
             )
 
         tag = "ema_" if ema else ""
-        if ref_stats is not None:
+        host_reduce = (
+            os.environ.get("OTGAN_EVAL_DEVICE_REDUCE", "1") == "0"
+        )
+        if ref_stats is not None and host_reduce:
+            # the user pinned the host-f64 IS reduction; the combined
+            # scorer is device-reduce only, so respect the pinned protocol
+            # with two separate passes (IS host path + streamed FID)
+            from otgan_tpu.eval.fid import (
+                feature_statistics_from_sampler,
+                frechet_distance,
+            )
+
+            mean, std = inception_score_from_sampler(
+                sampler, cfg.inception_samples, splits=cfg.inception_splits
+            )
+            mu, sigma = feature_statistics_from_sampler(
+                sampler, cfg.inception_samples
+            )
+            fid_val = frechet_distance(mu, sigma, *ref_stats)
+            logger.log(step_counter, **{f"{tag}fid": fid_val})
+            print(f"{'EMA ' if ema else ''}FID was {fid_val:.4f}")
+        elif ref_stats is not None:
             # one pass, both metrics: the pool features feed FID and (via
             # the fc head) the split-KL Inception score
             from otgan_tpu.eval.fid import (

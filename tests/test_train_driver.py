@@ -338,6 +338,38 @@ def test_fid_eval_in_train(tmp_path, monkeypatch):
     assert np.isfinite(ema_fids[0]["ema_fid"])
 
 
+def test_fid_stats_path_never_clobbered(tmp_path, monkeypatch):
+    """An EXPLICIT --fid_stats_path that cannot be used (wrong weight
+    variant, foreign archive without our keys) disables FID for the run
+    and leaves the file byte-identical — it must never be overwritten by
+    shard-local statistics. The decision is memoized per path."""
+    from otgan_tpu import train as train_mod
+    from otgan_tpu.eval import fid as fid_mod
+    import otgan_tpu.eval.inception as inc
+
+    monkeypatch.setattr(inc, "_variant_cache", "torchvision")
+
+    # (a) variant mismatch
+    p = str(tmp_path / "stats.npz")
+    fid_mod.save_reference_statistics(
+        p, np.zeros(4), np.eye(4), "tf2015", 7
+    )
+    before = open(p, "rb").read()
+    cfg = TrainConfig(fid_stats_path=p, save_dir=str(tmp_path))
+    assert train_mod._fid_reference_stats(cfg, loader=None, is_chief=True) is None
+    assert open(p, "rb").read() == before
+    assert train_mod._fid_reference_stats(cfg, None, True) is None  # memo
+
+    # (b) foreign npz (mu/sigma only, no variant key) -> KeyError inside
+    # load_reference_statistics must not propagate or clobber
+    p2 = str(tmp_path / "foreign.npz")
+    np.savez(p2, mu=np.zeros(4), sigma=np.eye(4))
+    before2 = open(p2, "rb").read()
+    cfg2 = TrainConfig(fid_stats_path=p2, save_dir=str(tmp_path))
+    assert train_mod._fid_reference_stats(cfg2, loader=None, is_chief=True) is None
+    assert open(p2, "rb").read() == before2
+
+
 def test_train_resume_with_padded_halves_matcher(tmp_path):
     """Full driver E2E on the padded-halves row-sharded path (batch 40 on
     the 8-device mesh: half 20, 20 % 8 != 0) incl. exact save/resume — the
