@@ -185,23 +185,28 @@ def _bench_inception(num_samples: int):
     one-pass IS+FID scorer (``fid_sec`` is None when BENCH_FID=0). DCGAN
     EMA sampler -> rescale/resize/preprocess -> tf2015-variant InceptionV3,
     compile excluded via a two-batch warmup."""
-    # classifier batch 1000 measured fastest (1953 img/s vs 1678 at 500
-    # vs ~1190 at the reference's own 100 — per-image probs are batch-
-    # invariant, so this only changes wall time, never the score)
-    os.environ.setdefault(
-        "OTGAN_INCEPTION_BATCH",
-        os.environ.get("BENCH_INCEPTION_BATCH", "1000"),
-    )
     import jax
     import jax.numpy as jnp
 
     from otgan_tpu.config import TrainConfig
     from otgan_tpu.engine import Engine
     from otgan_tpu.eval import inception_net
+    import otgan_tpu.eval.inception as _inc
     from otgan_tpu.eval.inception import inception_score_from_sampler
 
+    # classifier batch 1000 measured fastest (1953 img/s vs 1678 at 500
+    # vs ~1190 at the reference's own 100 — per-image probs are batch-
+    # invariant, so this only changes wall time, never the score).
+    # Set the module global DIRECTLY: an env setdefault only works if the
+    # module hasn't been imported yet, and would silently lose
+    # BENCH_INCEPTION_BATCH when OTGAN_INCEPTION_BATCH is already exported.
+    gen_batch = int(
+        os.environ.get("BENCH_INCEPTION_BATCH")
+        or os.environ.get("OTGAN_INCEPTION_BATCH")
+        or 1000
+    )
+    _inc._BATCH = gen_batch  # fid inherits dynamically
     # sampler batch == classifier batch so streaming chunks never pad
-    gen_batch = int(os.environ["OTGAN_INCEPTION_BATCH"])
     cfg = TrainConfig(batch_size=gen_batch, data_dependent_init=False)
     eng = Engine(cfg)
     rng = np.random.default_rng(0)

@@ -143,11 +143,19 @@ class Engine:
                         else cfg.batch_size // 2
                     )
                     pad = -n_half % n_dev
-                    self.matcher_desc = (
-                        f"row-sharded ({kind}-batch, padded halves: "
-                        f"+{pad} pad rows per half on the "
-                        f"{n_dev}-device mesh)"
-                    )
+                    if cfg.single_batch:
+                        # no halves in single-batch mode: the whole batch
+                        # is the (one) padded row block
+                        self.matcher_desc = (
+                            f"row-sharded (single-batch, padded rows: "
+                            f"+{pad} pad rows on the {n_dev}-device mesh)"
+                        )
+                    else:
+                        self.matcher_desc = (
+                            f"row-sharded (two-batch, padded halves: "
+                            f"+{pad} pad rows per half on the "
+                            f"{n_dev}-device mesh)"
+                        )
                 else:
                     self.matcher_desc = (
                         f"row-sharded ({kind}-batch, whole local halves "

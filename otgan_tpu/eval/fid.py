@@ -22,11 +22,21 @@ import numpy as np
 from otgan_tpu.eval import inception as _inception
 from otgan_tpu.eval import inception_net
 from otgan_tpu.eval.inception import (
-    _BATCH,
     _finalize_split_scores,
+    _serialize_on_cpu,
     _split_update,
+    _stream_chunks,
     preprocess,
 )
+
+# classifier batch override. None (default) inherits inception._BATCH
+# DYNAMICALLY — a by-value import froze it, so --inception_batch and
+# OTGAN_INCEPTION_BATCH changed the score path but not the FID path.
+_BATCH = None
+
+
+def _batch() -> int:
+    return _BATCH if _BATCH else _inception._BATCH
 
 
 def load_params(path=None):
@@ -40,18 +50,6 @@ def get_variant():
     return _inception.get_variant()
 
 
-def _serialize_on_cpu(x):
-    """On CPU meshes, wait for each eval dispatch before issuing the next:
-    XLA:CPU's in-process collectives deadlock when two executables'
-    per-device invocations interleave (the train loop applies the same
-    guard, train.py) — the 2048x2048 feature accumulation is the first
-    eval program big enough for GSPMD to partition with collectives. On
-    TPU this is skipped so generation and classification keep overlapping."""
-    if jax.default_backend() == "cpu":
-        jax.block_until_ready(x)
-    return x
-
-
 @functools.partial(jax.jit, static_argnames=("variant",))
 def _pool_features(params, x_uint8_range, variant: str = "torchvision"):
     x = preprocess(x_uint8_range, variant)
@@ -63,17 +61,18 @@ def pool_features(images: np.ndarray, params=None, variant=None) -> np.ndarray:
     params = params if params is not None else load_params()
     variant = variant if variant is not None else get_variant()
     n = images.shape[0]
+    batch = _batch()
     out = []
-    for i in range(0, n, _BATCH):
-        chunk = np.asarray(images[i : i + _BATCH], np.float32)
+    for i in range(0, n, batch):
+        chunk = np.asarray(images[i : i + batch], np.float32)
         pad = 0
-        if chunk.shape[0] < _BATCH:
-            pad = _BATCH - chunk.shape[0]
+        if chunk.shape[0] < batch:
+            pad = batch - chunk.shape[0]
             chunk = np.concatenate(
                 [chunk, np.zeros((pad,) + chunk.shape[1:], np.float32)]
             )
         f = np.asarray(_pool_features(params, jnp.asarray(chunk), variant))
-        out.append(f[: _BATCH - pad])
+        out.append(f[: batch - pad])
     return np.concatenate(out)
 
 
@@ -144,30 +143,15 @@ def feature_statistics_from_sampler(
     s1 = jnp.zeros((d,), jnp.float32)
     s2 = jnp.zeros((d, d), jnp.float32)
     n = jnp.float32(0.0)
-    got, seed = 0, 0
-    while got < num_samples:
-        x = _serialize_on_cpu(sample_fn(seed))
-        seed += 1
-        b = int(x.shape[0])
-        for i in range(0, b, _BATCH):
-            chunk = x[i : i + _BATCH]
-            # the tail past num_samples is excluded like the score path
-            real_len = min(int(chunk.shape[0]), max(num_samples - got - i, 0))
-            if chunk.shape[0] < _BATCH:
-                chunk = jnp.concatenate(
-                    [
-                        chunk,
-                        jnp.zeros(
-                            (_BATCH - chunk.shape[0],) + tuple(chunk.shape[1:]),
-                            chunk.dtype,
-                        ),
-                    ]
-                )
-            s1, s2, n = _pool_accum(
-                params, chunk, jnp.int32(real_len), s1, s2, n, variant
-            )
-            _serialize_on_cpu(n)
-        got += b
+    for chunk, start, real_len in _stream_chunks(
+        sample_fn, num_samples, _batch()
+    ):
+        # the tail past num_samples is excluded like the score path
+        real_len = min(real_len, max(num_samples - start, 0))
+        s1, s2, n = _pool_accum(
+            params, chunk, jnp.int32(real_len), s1, s2, n, variant
+        )
+        _serialize_on_cpu(n)
     s1 = np.asarray(s1, np.float64)
     s2 = np.asarray(s2, np.float64)
     cnt = float(n)
@@ -227,40 +211,24 @@ def combined_eval_from_sampler(
         [num_samples * (i + 1) // splits for i in range(splits)], jnp.int32
     )
     n_traced = jnp.int32(num_samples)
-    got, seed = 0, 0
-    while got < num_samples:
-        x = _serialize_on_cpu(sample_fn(seed))
-        seed += 1
-        b = int(x.shape[0])
-        for i in range(0, b, _BATCH):
-            chunk = x[i : i + _BATCH]
-            real_len = int(chunk.shape[0])
-            if chunk.shape[0] < _BATCH:
-                chunk = jnp.concatenate(
-                    [
-                        chunk,
-                        jnp.zeros(
-                            (_BATCH - chunk.shape[0],) + tuple(chunk.shape[1:]),
-                            chunk.dtype,
-                        ),
-                    ]
-                )
-            s1, s2, f1, f2, fn = _combined_accum(
-                params,
-                chunk,
-                jnp.int32(got + i),
-                jnp.int32(real_len),
-                n_traced,
-                upper,
-                s1,
-                s2,
-                f1,
-                f2,
-                fn,
-                variant,
-            )
-            _serialize_on_cpu(fn)
-        got += b
+    for chunk, start, real_len in _stream_chunks(
+        sample_fn, num_samples, _batch()
+    ):
+        s1, s2, f1, f2, fn = _combined_accum(
+            params,
+            chunk,
+            jnp.int32(start),
+            jnp.int32(real_len),
+            n_traced,
+            upper,
+            s1,
+            s2,
+            f1,
+            f2,
+            fn,
+            variant,
+        )
+        _serialize_on_cpu(fn)
     is_mean, is_std = _finalize_split_scores(s1, s2, num_samples, splits)
     f1 = np.asarray(f1, np.float64)
     f2 = np.asarray(f2, np.float64)

@@ -159,6 +159,46 @@ def predict_probs(images: np.ndarray, params=None, variant=None) -> np.ndarray:
     return np.concatenate(out)
 
 
+def _serialize_on_cpu(x):
+    """On CPU meshes, wait for each eval dispatch before issuing the next:
+    XLA:CPU's in-process collectives deadlock when two executables'
+    per-device invocations interleave (the train loop applies the same
+    guard, train.py). On TPU this is a no-op so generation and
+    classification keep overlapping."""
+    if jax.default_backend() == "cpu":
+        jax.block_until_ready(x)
+    return x
+
+
+def _stream_chunks(sample_fn, num_samples: int, batch: int):
+    """Yield ``(chunk, start, real_len)`` over generated batches: chunks of
+    exactly ``batch`` rows (ragged tails zero-padded), ``start`` the global
+    index of the chunk's first row, ``real_len`` its unpadded row count.
+    The single definition of the device-streaming eval loop — shared by the
+    probability, split-KL, FID-feature, and combined scorers (they apply
+    their own masking from ``start``/``real_len``)."""
+    got, seed = 0, 0
+    while got < num_samples:
+        x = _serialize_on_cpu(sample_fn(seed))
+        seed += 1
+        b = int(x.shape[0])
+        for i in range(0, b, batch):
+            chunk = x[i : i + batch]
+            real_len = int(chunk.shape[0])
+            if real_len < batch:
+                chunk = jnp.concatenate(
+                    [
+                        chunk,
+                        jnp.zeros(
+                            (batch - real_len,) + tuple(chunk.shape[1:]),
+                            chunk.dtype,
+                        ),
+                    ]
+                )
+            yield chunk, got + i, real_len
+        got += b
+
+
 @functools.partial(jax.jit, static_argnames=("variant",))
 def _preds_pm1(params, x_pm1, variant: str = "torchvision"):
     """Like ``_preds`` but for generator output in [-1, 1] (one fused
@@ -184,22 +224,11 @@ def predict_probs_from_sampler(
     params = params if params is not None else load_params()
     variant = variant if variant is not None else _variant_cache
     probs = []
-    got, seed = 0, 0
-    while got < num_samples:
-        x = sample_fn(seed)
-        seed += 1
-        b = int(x.shape[0])
-        for i in range(0, b, _BATCH):
-            chunk = x[i : i + _BATCH]
-            pad = 0
-            if chunk.shape[0] < _BATCH:
-                pad = _BATCH - chunk.shape[0]
-                chunk = jnp.concatenate(
-                    [chunk, jnp.zeros((pad,) + chunk.shape[1:], chunk.dtype)]
-                )
-            p = np.asarray(_preds_pm1(params, chunk, variant))
-            probs.append(p[: _BATCH - pad])
-        got += b
+    for chunk, _start, real_len in _stream_chunks(
+        sample_fn, num_samples, _BATCH
+    ):
+        p = np.asarray(_preds_pm1(params, chunk, variant))
+        probs.append(p[:real_len])
     return np.concatenate(probs)[:num_samples]
 
 
@@ -290,36 +319,21 @@ def inception_score_from_sampler(
         [num_samples * (i + 1) // splits for i in range(splits)], jnp.int32
     )
     n_traced = jnp.int32(num_samples)
-    got, seed = 0, 0
-    while got < num_samples:
-        x = sample_fn(seed)
-        seed += 1
-        b = int(x.shape[0])
-        for i in range(0, b, _BATCH):
-            chunk = x[i : i + _BATCH]
-            real_len = int(chunk.shape[0])
-            if chunk.shape[0] < _BATCH:
-                chunk = jnp.concatenate(
-                    [
-                        chunk,
-                        jnp.zeros(
-                            (_BATCH - chunk.shape[0],) + tuple(chunk.shape[1:]),
-                            chunk.dtype,
-                        ),
-                    ]
-                )
-            s1, s2 = _split_accum(
-                params,
-                chunk,
-                jnp.int32(got + i),
-                jnp.int32(real_len),
-                n_traced,
-                upper,
-                s1,
-                s2,
-                variant,
-            )
-        got += b
+    for chunk, start, real_len in _stream_chunks(
+        sample_fn, num_samples, _BATCH
+    ):
+        s1, s2 = _split_accum(
+            params,
+            chunk,
+            jnp.int32(start),
+            jnp.int32(real_len),
+            n_traced,
+            upper,
+            s1,
+            s2,
+            variant,
+        )
+        _serialize_on_cpu(s2)
     return _finalize_split_scores(s1, s2, num_samples, splits)
 
 

@@ -512,11 +512,7 @@ def _maybe_inception_eval(
         # changing the score (per-image probabilities are batch-invariant)
         import otgan_tpu.eval.inception as _inc
 
-        _inc._BATCH = cfg.inception_batch
-        if cfg.eval_fid:
-            import otgan_tpu.eval.fid as _fid
-
-            _fid._BATCH = cfg.inception_batch
+        _inc._BATCH = cfg.inception_batch  # fid inherits dynamically
     ref_stats = None
     if cfg.eval_fid and loader is not None:
         ref_stats = _fid_reference_stats(cfg, loader, is_chief)

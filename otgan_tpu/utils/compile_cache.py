@@ -70,6 +70,15 @@ class CacheTelemetry(logging.Handler):
             msg = record.getMessage()
             if "Error writing persistent compilation cache entry" in msg:
                 self.put_errors.append(msg)
+            else:
+                # captureWarnings(True) reroutes EVERY warnings.warn in the
+                # process through this logger; with a handler attached,
+                # logging's lastResort fallback never fires — so anything
+                # we don't record must be forwarded to stderr ourselves or
+                # the process silently loses all diagnostic warnings
+                import sys
+
+                print(msg, file=sys.stderr)
         except Exception:
             pass
 
@@ -89,21 +98,27 @@ def install_cache_telemetry() -> CacheTelemetry:
     use only (process-global side effects). Idempotent per process is NOT
     guaranteed — call once."""
     h = CacheTelemetry()
-    from jax._src import compiler as _compiler
+    try:
+        # underscore-internal jax helpers: a jax upgrade may move them.
+        # Telemetry is observability — it must never take the trainer down,
+        # so degrade to an empty summary instead of raising at startup.
+        from jax._src import compiler as _compiler
 
-    orig_hit = _compiler.log_persistent_cache_hit
-    orig_miss = _compiler.log_persistent_cache_miss
+        orig_hit = _compiler.log_persistent_cache_hit
+        orig_miss = _compiler.log_persistent_cache_miss
 
-    def hit(module_name, *a, **kw):
-        h.hits.append(str(module_name))
-        return orig_hit(module_name, *a, **kw)
+        def hit(module_name, *a, **kw):
+            h.hits.append(str(module_name))
+            return orig_hit(module_name, *a, **kw)
 
-    def miss(module_name, *a, **kw):
-        h.misses.append(str(module_name))
-        return orig_miss(module_name, *a, **kw)
+        def miss(module_name, *a, **kw):
+            h.misses.append(str(module_name))
+            return orig_miss(module_name, *a, **kw)
 
-    _compiler.log_persistent_cache_hit = hit
-    _compiler.log_persistent_cache_miss = miss
+        _compiler.log_persistent_cache_hit = hit
+        _compiler.log_persistent_cache_miss = miss
+    except Exception as e:  # pragma: no cover
+        print(f"compile-cache hit/miss telemetry unavailable: {e!r}")
 
     logging.getLogger("py.warnings").addHandler(h)
     logging.captureWarnings(True)
