@@ -35,6 +35,11 @@ def main(argv: Optional[list] = None):
     ap.add_argument("--ema", action="store_true")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--data_dir", default="", help="real data for FID (optional)")
+    ap.add_argument(
+        "--fid_stats_path", default="",
+        help="precomputed real-data statistics (.npz from "
+        "`python -m otgan_tpu.eval.fid`) — FID without raw data access",
+    )
     ap.add_argument("--fid_samples", type=int, default=10000)
     args = ap.parse_args(argv)
 
@@ -67,7 +72,20 @@ def main(argv: Optional[list] = None):
         "inception_std": round(float(is_std), 4),
     }
 
-    if args.data_dir:
+    if args.fid_stats_path:
+        from otgan_tpu.eval import fid as fid_mod
+        from otgan_tpu.eval.inception import get_variant
+
+        mu_ref, sigma_ref = fid_mod.load_reference_statistics(
+            args.fid_stats_path, expect_variant=get_variant()
+        )
+        mu, sigma = fid_mod.feature_statistics(
+            fid_mod.pool_features(x255[: args.fid_samples])
+        )
+        result["fid"] = round(
+            float(fid_mod.frechet_distance(mu, sigma, mu_ref, sigma_ref)), 4
+        )
+    elif args.data_dir:
         from otgan_tpu.data.cifar10 import load
         from otgan_tpu.eval.fid import get_fid
 

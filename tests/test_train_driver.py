@@ -206,6 +206,35 @@ def test_evaluate_cli(tmp_path, monkeypatch):
     )
     assert res["inception_score"] == 5.5 and res["num_samples"] == 128
 
+    # --fid_stats_path: FID against precomputed statistics, no raw data
+    # access (features stubbed — the toy generator emits 2-D points)
+    import otgan_tpu.eval.fid as fid_mod
+
+    monkeypatch.setattr(inc, "_variant_cache", "torchvision")
+    monkeypatch.setattr(
+        fid_mod,
+        "pool_features",
+        lambda imgs, **kw: np.random.default_rng(0).normal(
+            size=(imgs.shape[0], 4)
+        ),
+    )
+    stats_p = str(tmp_path / "ref_stats.npz")
+    fid_mod.save_reference_statistics(
+        stats_p, np.zeros(4), np.eye(4), "torchvision", 100
+    )
+    res2 = ev.main(
+        [
+            "--save_dir", str(tmp_path),
+            "--model", "toy_mlp",
+            "--batch_size", "64",
+            "--num_samples", "128",
+            "--splits", "2",
+            "--fid_stats_path", stats_p,
+            "--fid_samples", "64",
+        ]
+    )
+    assert "fid" in res2 and np.isfinite(res2["fid"]) and res2["fid"] >= 0.0
+
 
 def test_train_with_smaller_init_batch(tmp_path):
     """--init_batch_size runs the data-dependent init pass on a prefix of
