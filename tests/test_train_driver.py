@@ -367,6 +367,70 @@ def test_fid_eval_in_train(tmp_path, monkeypatch):
     assert np.isfinite(ema_fids[0]["ema_fid"])
 
 
+def test_eval_fid_host_reduce_protocol(tmp_path, monkeypatch):
+    """OTGAN_EVAL_DEVICE_REDUCE=0 with --eval_fid: the pinned host-f64 IS
+    protocol must be respected (the combined device-reduce scorer is
+    bypassed; two separate passes) and FID must still be logged."""
+    from otgan_tpu import train as train_mod
+    import otgan_tpu.eval.inception as inc
+    from otgan_tpu.eval import inception_net
+    import jax as _jax
+
+    monkeypatch.setenv("OTGAN_EVAL_DEVICE_REDUCE", "0")
+    monkeypatch.setattr(
+        inc,
+        "_params_cache",
+        inception_net.init_params(np.random.default_rng(0), num_classes=6),
+    )
+    monkeypatch.setattr(inc, "_variant_cache", "torchvision")
+    monkeypatch.setattr(inc, "_BATCH", 2)
+
+    # the combined scorer must NOT run on this protocol
+    import otgan_tpu.eval.fid as fid_mod
+
+    def _boom(*a, **kw):
+        raise AssertionError("combined scorer ran under host-reduce protocol")
+
+    monkeypatch.setattr(fid_mod, "combined_eval_from_sampler", _boom)
+
+    class _Eng:
+        def sample(self, state, key, batch, ema):
+            return _jax.random.uniform(
+                key, (4, 16, 16, 3), minval=-1.0, maxval=1.0
+            )
+
+    class _Log:
+        def __init__(self):
+            self.recs = []
+
+        def log(self, step, **kw):
+            self.recs.append(kw)
+
+    class _Loader:
+        def images_255(self, limit=None):
+            return np.random.default_rng(1).integers(
+                0, 256, (8, 16, 16, 3)
+            ).astype(np.float32)
+
+    cfg = TrainConfig(
+        eval_fid=True,
+        inception_samples=4,
+        inception_splits=2,
+        batch_size=4,
+        save_dir=str(tmp_path),
+    )
+    log = _Log()
+    train_mod._maybe_inception_eval(
+        cfg, _Eng(), None, log, 0, loader=_Loader(), is_chief=True
+    )
+    keys = set().union(*[set(r) for r in log.recs])
+    assert {
+        "fid", "ema_fid", "inception_score", "ema_inception_score"
+    } <= keys
+    fid_vals = [r["fid"] for r in log.recs if "fid" in r]
+    assert np.isfinite(fid_vals[0]) and fid_vals[0] >= 0.0
+
+
 def test_fid_stats_path_never_clobbered(tmp_path, monkeypatch):
     """An EXPLICIT --fid_stats_path that cannot be used (wrong weight
     variant, foreign archive without our keys) disables FID for the run
