@@ -320,36 +320,34 @@ def main():
     # Device-init watchdog: when the axon tunnel / chip-grant service is
     # down, jax.devices() blocks in an infinite acquisition-retry loop —
     # a harness that runs this script would hang instead of recording a
-    # failure (observed r03: >2.5 h outage). Emit a parseable JSON error
-    # line and exit hard if the backend doesn't come up in time. Compiles
-    # are NOT under this timer — only first device enumeration.
-    import threading
+    # failure (observed r03: a multi-hour outage). Emit a parseable JSON
+    # error line and exit hard if the backend doesn't come up in time.
+    # Compiles are NOT under this timer — only first device enumeration.
+    from otgan_tpu.utils.init_watchdog import arm
 
     init_timeout = float(os.environ.get("BENCH_INIT_TIMEOUT", "600"))
-    init_ok = threading.Event()
 
-    def _watchdog():
-        if not init_ok.wait(init_timeout):
-            print(
-                json.dumps(
-                    {
-                        "metric": "bench_error",
-                        "value": 0,
-                        "unit": "error",
-                        "vs_baseline": 0,
-                        "error": (
-                            f"device init did not complete within "
-                            f"{init_timeout:.0f}s — TPU tunnel/chip-grant "
-                            "service unreachable (environment outage, not "
-                            "a code failure)"
-                        ),
-                    }
-                ),
-                flush=True,
-            )
-            os._exit(2)
+    def _emit_init_error():
+        print(
+            json.dumps(
+                {
+                    "metric": "bench_error",
+                    "value": 0,
+                    "unit": "error",
+                    "vs_baseline": 0,
+                    "error": (
+                        f"device init did not complete within "
+                        f"{init_timeout:.0f}s — TPU tunnel/chip-grant "
+                        "service unreachable (environment outage, not "
+                        "a code failure)"
+                    ),
+                }
+            ),
+            flush=True,
+        )
+        os._exit(2)
 
-    threading.Thread(target=_watchdog, daemon=True).start()
+    init_wd = arm(init_timeout, on_timeout=_emit_init_error)
 
     batch = int(os.environ.get("BENCH_BATCH", "5000"))
     small = int(os.environ.get("BENCH_SMALL_BATCH", "256"))
@@ -357,7 +355,7 @@ def main():
     remat = os.environ.get("BENCH_REMAT", "1") == "1"
     profile_dir = os.environ.get("BENCH_PROFILE_DIR", "")
     on_tpu = jax.default_backend() == "tpu"
-    init_ok.set()  # backend is up; the watchdog stands down
+    init_wd.disarm()  # backend is up; the watchdog stands down
     parity = os.environ.get("BENCH_PARITY", "1" if on_tpu else "0") == "1"
 
     log(f"backend={jax.default_backend()} devices={jax.devices()}")

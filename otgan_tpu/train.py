@@ -106,8 +106,17 @@ def _save_sample_grid(
 
 
 def train(cfg: TrainConfig) -> TrainState:
+    # opt-in launch protection: OTGAN_INIT_TIMEOUT=<seconds> aborts with a
+    # FATAL line if first device enumeration hangs (chip-grant outage —
+    # jax.devices() otherwise retries forever with no output). Off by
+    # default: pod device init over jax.distributed can legitimately wait
+    # on peers. Compiles are never under this timer.
+    from otgan_tpu.utils.init_watchdog import arm as _arm_watchdog
+
+    init_wd = _arm_watchdog(float(os.environ.get("OTGAN_INIT_TIMEOUT", "0")))
     maybe_init_distributed(cfg)
     pid, pcount = jax.process_index(), jax.process_count()
+    init_wd.disarm()
     is_chief = pid == 0
     if cfg.batch_size % pcount != 0:
         raise ValueError(

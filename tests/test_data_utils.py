@@ -576,3 +576,25 @@ def test_cache_telemetry_records_hits_and_misses(tmp_path):
         logging.captureWarnings(False)
         for name in ("jax._src.compiler", "py.warnings"):
             logging.getLogger(name).removeHandler(tel)
+
+
+def test_init_watchdog_fires_and_disarms():
+    """arm() triggers on_timeout unless disarmed in time; timeout <= 0
+    returns an already-disarmed handle (the trainer's default-off mode)."""
+    import threading
+    import time
+
+    from otgan_tpu.utils.init_watchdog import arm
+
+    fired = threading.Event()
+    arm(0.05, on_timeout=fired.set)
+    assert fired.wait(2.0), "watchdog never fired"
+
+    fired2 = threading.Event()
+    wd = arm(0.2, on_timeout=fired2.set)
+    wd.disarm()
+    time.sleep(0.4)
+    assert not fired2.is_set(), "disarmed watchdog still fired"
+
+    wd0 = arm(0, on_timeout=lambda: (_ for _ in ()).throw(AssertionError()))
+    wd0.disarm()  # no-op, already disarmed
