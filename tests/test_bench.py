@@ -83,3 +83,15 @@ def test_time_cycles_full_batch_init_by_default():
     eng = _FakeEngine()
     sec, per_cycle = bench._time_cycles(eng, cfg, 64, cycles=1, fused=True)
     assert eng.init_rows == 64
+
+
+def test_init_error_payload_carries_last_measured_record():
+    """Outage-time bench output must still surface the round's measured
+    numbers — as a provenance-marked record, never as a fresh value."""
+    err = bench._init_error_payload(600.0)
+    assert err["metric"] == "bench_error" and err["value"] == 0
+    assert "outage" in err["error"]
+    rec = err["last_measured"]  # artifact must exist and parse
+    assert "NOT a fresh measurement" in rec["provenance"]
+    assert rec["value"] > 0 and rec["unit"] == "img/s/chip"
+    assert rec["paper_8000_img_per_sec"] > 0
