@@ -326,6 +326,16 @@ def main(argv=None) -> None:
         raise ValueError(f"expected NHWC/NCHW images, got shape {imgs.shape}")
     if imgs.shape[1] == 3 and imgs.shape[-1] != 3:  # NCHW -> NHWC
         imgs = np.transpose(imgs, (0, 2, 3, 1))
+    if float(imgs.max()) <= 2.0:
+        # a [0,1]- or [-1,1]-normalized stack would silently produce
+        # garbage statistics (preprocess treats values as [0,255]); every
+        # later --fid_stats_path run would then report finite but
+        # meaningless FIDs with no error anywhere
+        raise ValueError(
+            f"--images values span [{imgs.min():.3f}, {imgs.max():.3f}] — "
+            "expected uint8-range [0, 255]; rescale normalized stacks "
+            "(e.g. x*255 or (x+1)*127.5) before computing statistics"
+        )
     if args.limit:
         imgs = imgs[: args.limit]
     variant = get_variant()

@@ -142,8 +142,20 @@ def _preds(params, x_uint8_range, variant: str = "torchvision"):
     return jax.nn.softmax(logits, axis=-1)
 
 
+def _check_batch(batch: int) -> None:
+    """A non-positive classifier batch makes every chunk loop empty: the
+    scorers would finalize from all-zero statistics (IS exactly 1.0 over
+    zero samples, NaN FID) with no error anywhere. Fail loudly instead."""
+    if batch < 1:
+        raise ValueError(
+            f"inception classifier batch must be >= 1, got {batch} "
+            "(--inception_batch / OTGAN_INCEPTION_BATCH / bench knob)"
+        )
+
+
 def predict_probs(images: np.ndarray, params=None, variant=None) -> np.ndarray:
     """Batched classifier probabilities for a stack of images."""
+    _check_batch(_BATCH)
     params = params if params is not None else load_params()
     variant = variant if variant is not None else _variant_cache
     n = images.shape[0]
@@ -177,6 +189,7 @@ def _stream_chunks(sample_fn, num_samples: int, batch: int):
     The single definition of the device-streaming eval loop — shared by the
     probability, split-KL, FID-feature, and combined scorers (they apply
     their own masking from ``start``/``real_len``)."""
+    _check_batch(batch)
     got, seed = 0, 0
     while got < num_samples:
         x = _serialize_on_cpu(sample_fn(seed))

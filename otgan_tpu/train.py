@@ -123,6 +123,24 @@ def train(cfg: TrainConfig) -> TrainState:
             f"global batch {cfg.batch_size} must be divisible by the "
             f"process count {pcount}"
         )
+    if cfg.inception_batch < 0:
+        # fail at launch, not hours later at the first eval event
+        raise ValueError(
+            f"--inception_batch must be >= 1 (or 0 for the default), "
+            f"got {cfg.inception_batch}"
+        )
+    if cfg.eval_fid and cfg.fid_stats_path and not os.path.exists(
+        cfg.fid_stats_path
+    ):
+        # an explicit stats path that doesn't exist is almost always a
+        # typo; silently computing shard-local statistics and writing them
+        # THERE would mislabel every later run's FID reference
+        raise FileNotFoundError(
+            f"--fid_stats_path {cfg.fid_stats_path} does not exist — "
+            "precompute it with `python -m otgan_tpu.eval.fid --data_dir "
+            "... --out ...`, or drop the flag to compute+cache statistics "
+            "from this run's data under --save_dir"
+        )
     local_batch = cfg.batch_size // pcount  # per-process slice of each step
     if pcount > 1 and cfg.checkpoint_backend != "orbax":
         # npz checkpoints funnel through one host and its prune/glob logic
@@ -465,6 +483,17 @@ def _fid_reference_stats(cfg, loader, is_chief):
     path = cfg.fid_stats_path or os.path.join(cfg.save_dir, "fid_stats.npz")
     if path in _FID_STATS_MEMO:
         return _FID_STATS_MEMO[path]
+    if user_path and not os.path.exists(path):
+        # launch-time validation already rejects this; if the file
+        # vanished mid-run, disable FID rather than silently computing
+        # (possibly shard-local) statistics and writing them to the
+        # user's precomputed-stats path
+        print(
+            f"--fid_stats_path {path} no longer exists — FID disabled "
+            "for this run (path left untouched)"
+        )
+        _FID_STATS_MEMO[path] = None
+        return None
     stats = None
     if os.path.exists(path):
         # any load failure (variant mismatch ValueError, foreign npz
@@ -539,14 +568,12 @@ def _maybe_inception_eval(
         host_reduce = (
             os.environ.get("OTGAN_EVAL_DEVICE_REDUCE", "1") == "0"
         )
+        mu = sigma = None
         if ref_stats is not None and host_reduce:
             # the user pinned the host-f64 IS reduction; the combined
             # scorer is device-reduce only, so respect the pinned protocol
             # with two separate passes (IS host path + streamed FID)
-            from otgan_tpu.eval.fid import (
-                feature_statistics_from_sampler,
-                frechet_distance,
-            )
+            from otgan_tpu.eval.fid import feature_statistics_from_sampler
 
             mean, std = inception_score_from_sampler(
                 sampler, cfg.inception_samples, splits=cfg.inception_splits
@@ -554,27 +581,24 @@ def _maybe_inception_eval(
             mu, sigma = feature_statistics_from_sampler(
                 sampler, cfg.inception_samples
             )
-            fid_val = frechet_distance(mu, sigma, *ref_stats)
-            logger.log(step_counter, **{f"{tag}fid": fid_val})
-            print(f"{'EMA ' if ema else ''}FID was {fid_val:.4f}")
         elif ref_stats is not None:
             # one pass, both metrics: the pool features feed FID and (via
             # the fc head) the split-KL Inception score
-            from otgan_tpu.eval.fid import (
-                combined_eval_from_sampler,
-                frechet_distance,
-            )
+            from otgan_tpu.eval.fid import combined_eval_from_sampler
 
             (mean, std), (mu, sigma) = combined_eval_from_sampler(
                 sampler, cfg.inception_samples, splits=cfg.inception_splits
             )
-            fid_val = frechet_distance(mu, sigma, *ref_stats)
-            logger.log(step_counter, **{f"{tag}fid": fid_val})
-            print(f"{'EMA ' if ema else ''}FID was {fid_val:.4f}")
         else:
             mean, std = inception_score_from_sampler(
                 sampler, cfg.inception_samples, splits=cfg.inception_splits
             )
+        if mu is not None:
+            from otgan_tpu.eval.fid import frechet_distance
+
+            fid_val = frechet_distance(mu, sigma, *ref_stats)
+            logger.log(step_counter, **{f"{tag}fid": fid_val})
+            print(f"{'EMA ' if ema else ''}FID was {fid_val:.4f}")
         logger.log(
             step_counter,
             **{f"{tag}inception_score": mean, f"{tag}inception_std": std},

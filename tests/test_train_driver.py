@@ -486,3 +486,63 @@ def test_train_resume_with_padded_halves_matcher(tmp_path):
     assert np.isfinite(epochs[-1]["dist_gen"])
     state = train(TrainConfig(max_epochs=3, load_params=True, **kw))
     assert int(np.asarray(state.step)) > 0
+
+
+def test_launch_validation_rejects_missing_fid_stats_and_bad_batch(tmp_path):
+    """Launch-time guards (round-3 review): an explicit --fid_stats_path
+    that doesn't exist is almost always a typo — raising beats silently
+    computing shard-local statistics and writing them THERE; a negative
+    --inception_batch would otherwise surface only at the first eval
+    event as a silent IS=1.0 / NaN FID."""
+    import pytest
+
+    from otgan_tpu import train as train_mod
+
+    cfg = TrainConfig(
+        model="toy_mlp", batch_size=16, save_dir=str(tmp_path),
+        eval_fid=True, fid_stats_path=str(tmp_path / "nope.npz"),
+    )
+    with pytest.raises(FileNotFoundError, match="fid_stats_path"):
+        train_mod.train(cfg)
+
+    cfg2 = TrainConfig(
+        model="toy_mlp", batch_size=16, save_dir=str(tmp_path),
+        inception_batch=-100,
+    )
+    with pytest.raises(ValueError, match="inception_batch"):
+        train_mod.train(cfg2)
+
+
+def test_fid_reference_stats_disabled_when_user_path_vanishes(tmp_path):
+    """Mid-run defense for the same case: the file existed at launch but
+    vanished before the first eval — disable FID, never write the path."""
+    from otgan_tpu import train as train_mod
+
+    p = str(tmp_path / "gone.npz")
+    cfg = TrainConfig(fid_stats_path=p, save_dir=str(tmp_path))
+    assert train_mod._fid_reference_stats(cfg, loader=None, is_chief=True) is None
+    assert not os.path.exists(p)
+
+
+def test_stream_chunks_rejects_nonpositive_batch():
+    import pytest
+
+    from otgan_tpu.eval.inception import _stream_chunks
+
+    with pytest.raises(ValueError, match="must be >= 1"):
+        next(_stream_chunks(lambda s: None, 10, 0))
+    with pytest.raises(ValueError, match="must be >= 1"):
+        next(_stream_chunks(lambda s: None, 10, -100))
+
+
+def test_fid_cli_rejects_normalized_image_stack(tmp_path):
+    """A [0,1]-normalized float stack into the offline stats CLI must be
+    rejected, not scored as near-black [0,255] images."""
+    import pytest
+
+    from otgan_tpu.eval import fid as fid_mod
+
+    p = str(tmp_path / "norm.npy")
+    np.save(p, np.random.default_rng(0).uniform(0, 1, (8, 32, 32, 3)))
+    with pytest.raises(ValueError, match="uint8-range"):
+        fid_mod.main(["--images", p, "--out", str(tmp_path / "o.npz")])
