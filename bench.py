@@ -136,8 +136,12 @@ def _time_cycles(eng, cfg, batch, cycles, profile_dir="", fused=True):
     import jax.numpy as jnp
 
     rng = np.random.default_rng(0)
+    # uint8 inputs: the real ingest path (round 4) — raw bytes on device,
+    # the [0,255]->[-1,1] normalize traced into the step (engine._ingest).
+    # Identical math to the old pre-normalized floats; the on-device step
+    # stack is 4x smaller than f32, 2x smaller than bf16.
     x = jnp.asarray(
-        rng.uniform(-1.0, 1.0, (batch, 32, 32, 3)).astype(np.float32)
+        rng.integers(0, 256, (batch, 32, 32, 3)).astype(np.uint8)
     )
     t0 = time.time()
     # data-dependent init runs with no remat, so at deep-family scale it
@@ -209,6 +213,102 @@ def _bench_throughput(
     )
     n_chips = len(eng.mesh.devices.flat)
     return per_cycle * batch / sec_per_cycle / n_chips
+
+
+def _bench_e2e_trainer(batch: int, epochs: int = 3) -> dict:
+    """Measure the REAL ``train()`` loop — host batch assembly + H2D + the
+    jitted device steps, exactly what a user gets — on synthetic data at
+    global batch ``batch``, with a host/H2D/device attribution.
+
+    The reference's only perf instrument times this same whole loop
+    (``/root/reference/train.py:195-197,229-231`` — feed_dict assembly
+    included); the headline key deliberately times pre-placed device
+    inputs, so this key closes the gap between the two (VERDICT r03
+    Missing #2). Steady-state epochs only (the first epoch carries
+    compiles and is dropped).
+
+    Attribution keys (img/s):
+      host  — loader-only batch assembly (fused native gather+flip, uint8)
+      h2d   — synchronous uint8 device_put of one batch (3072 B/img; on
+              this harness the ~6 MB/s tunnel makes it the hard ceiling)
+      device— the headline regime (pre-placed inputs) is reported
+              separately by the main key
+    """
+    import json as _json
+    import shutil
+    import tempfile
+
+    import jax
+
+    from otgan_tpu.config import TrainConfig
+    from otgan_tpu.data.cifar10 import DataLoader
+    from otgan_tpu.engine import Engine
+    from otgan_tpu import train as train_mod
+
+    save_dir = tempfile.mkdtemp(prefix=f"otgan_e2e_b{batch}_")
+    n_steps_per_epoch = 2  # the REHEARSAL shape: dataset = 2 global batches
+    cfg = TrainConfig(
+        batch_size=batch,
+        synthetic_data=True,
+        synthetic_size=n_steps_per_epoch * batch,
+        max_epochs=epochs,
+        save_every_epochs=10 * epochs,  # no checkpoint events in the window
+        eval_every_epochs=10 * epochs,
+        remat=True,
+        remat_policy=_remat_policy(True, batch),
+        save_dir=save_dir,
+        init_batch_size=min(batch, 512),
+    )
+    out: dict = {}
+    try:
+        t0 = time.time()
+        train_mod.train(cfg)
+        total = time.time() - t0
+        # steady-state epochs from the run's own metrics (first = compile)
+        epoch_times = []
+        with open(os.path.join(save_dir, "metrics.jsonl")) as f:
+            for line in f:
+                rec = _json.loads(line)
+                if "epoch_time" in rec:
+                    epoch_times.append(rec["epoch_time"])
+        steady = epoch_times[1:] or epoch_times
+        sec = float(np.median(steady))
+        imgs = n_steps_per_epoch * batch
+        n_chips = len(jax.devices())
+        out["e2e_img_per_sec"] = round(imgs / sec / n_chips, 1)
+        out["e2e_epoch_sec"] = round(sec, 2)
+        out["e2e_total_sec"] = round(total, 1)
+
+        # ---- attribution ----
+        # host: loader assembly only (no device in the loop)
+        rng = np.random.default_rng(0)
+        synth = rng.integers(0, 256, (cfg.synthetic_size, 32, 32, 3)).astype(
+            np.uint8
+        )
+        loader = DataLoader(
+            "", batch_size=batch, data=synth, rng=rng, out_dtype="uint8"
+        )
+        t0 = time.time()
+        n = 0
+        for xb in loader.epoch():
+            n += xb.shape[0]
+        out["e2e_host_assembly_img_per_sec"] = round(n / (time.time() - t0), 1)
+        # h2d: synchronous put of one uint8 batch
+        eng = Engine(TrainConfig(batch_size=batch))
+        xb = next(iter(loader.epoch()))
+        jax.block_until_ready(eng.shard(xb))  # warm the transfer path
+        reps = 3
+        t0 = time.time()
+        for _ in range(reps):
+            jax.block_until_ready(eng.shard(xb))
+        h2d_sec = (time.time() - t0) / reps
+        out["e2e_h2d_img_per_sec"] = round(batch / h2d_sec, 1)
+        out["e2e_h2d_mb_per_sec"] = round(
+            batch * 3072 / h2d_sec / 1e6, 2
+        )
+    finally:
+        shutil.rmtree(save_dir, ignore_errors=True)
+    return out
 
 
 def _bench_inception(num_samples: int):
@@ -293,6 +393,74 @@ def _bench_inception(num_samples: int):
             f"({100.0 * (fid_sec - sec) / sec:+.1f}% vs IS alone)"
         )
     return sec, fid_sec
+
+
+def _tol_quality(batch: int, tol: float, lam=500.0, n_iters=500) -> dict:
+    """Quantify what --sinkhorn_tol trades for its speed win (VERDICT r03
+    weak #7): at the headline config, run the EXACT 500-iteration two-batch
+    matching and the tol-early-exit variant on the same critic features and
+    record the distance/entropy/matched-feature deviation plus the
+    iteration counts the tol path actually used (per cost matrix).
+
+    Features come from a data-dependent-initialized DCGAN critic on random
+    images — early-training feature geometry, the regime where Sinkhorn
+    convergence is slowest (trained features only sharpen the assignment,
+    converging faster), so the recorded deviation is an upper bound for
+    the run. Reference behavior is the fixed 500-iteration schedule
+    (utils/matching.py:50-54); tol>0 is the opt-in deviation.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from otgan_tpu.config import TrainConfig
+    from otgan_tpu.engine import Engine
+    from otgan_tpu.ops.matching import (
+        calc_distance,
+        match_two_batch,
+        two_batch_costs,
+    )
+    from otgan_tpu.ops.sinkhorn import sinkhorn_log_tol
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.integers(0, 256, (batch, 32, 32, 3)).astype(np.uint8))
+    eng = Engine(TrainConfig(batch_size=batch))
+    state, _ = eng.init_state(3, eng.shard(x))
+    x2 = jnp.asarray(
+        rng.integers(0, 256, (batch, 32, 32, 3)).astype(np.uint8)
+    )
+    feats = jax.jit(
+        lambda p, a, b: (
+            eng.disc.apply(p, eng._ingest(a)),
+            eng.disc.apply(p, eng._ingest(b)),
+        )
+    )(state.disc_params, x, x2)
+    f_a, f_b = feats
+    on_tpu = jax.default_backend() == "tpu"
+    m_exact = match_two_batch(
+        f_a, f_b, lam=lam, n_iters=n_iters, use_pallas=on_tpu
+    )
+    m_tol = match_two_batch(f_a, f_b, lam=lam, n_iters=n_iters, tol=tol)
+    d_exact = float(calc_distance(f_a, f_b, m_exact))
+    d_tol = float(calc_distance(f_a, f_b, m_tol))
+    feat_dev = max(
+        float(jnp.max(jnp.abs(a - b)))
+        for a, b in zip(m_exact[:4], m_tol[:4])
+    )
+    costs = two_batch_costs(f_a, f_b)
+    _, iters = sinkhorn_log_tol(
+        -lam * costs.astype(jnp.float32), n_iters, tol
+    )
+    iters = np.asarray(iters)
+    return {
+        "tol_dist_exact": round(d_exact, 8),
+        "tol_dist_dev": round(abs(d_tol - d_exact), 10),
+        "tol_entropy_dev": round(
+            abs(float(m_tol.entropy) - float(m_exact.entropy)), 10
+        ),
+        "tol_matched_feature_max_dev": round(feat_dev, 10),
+        "tol_iters_used_max": int(iters.max()),
+        "tol_iters_used_mean": round(float(iters.mean()), 1),
+    }
 
 
 def _kernel_parity():
@@ -386,6 +554,22 @@ def main():
     )
     log(f"HEADLINE b{batch}: {img_per_sec:.1f} img/s/chip")
 
+    # end-to-end trainer throughput: the REAL train() loop (host assembly +
+    # H2D + device), the number the reference's own timer reports
+    # (train.py:195-231). BENCH_E2E=0 skips; BENCH_E2E_EPOCHS (default 3).
+    if os.environ.get("BENCH_E2E", "1" if on_tpu else "0") == "1":
+        e2e_epochs = int(os.environ.get("BENCH_E2E_EPOCHS", "3"))
+        for b in (batch, small):
+            if not b:
+                continue
+            try:
+                r = _bench_e2e_trainer(b, epochs=e2e_epochs)
+                extra.update({f"trainer_{k}_b{b}": v for k, v in r.items()})
+                log(f"E2E b{b}: {r}")
+            except Exception as e:  # secondary; never sink the headline
+                log(f"e2e trainer bench failed at b{b}: {e!r}")
+                extra[f"trainer_e2e_error_b{b}"] = str(e)
+
     if small and small != batch:
         extra["small_batch_img_per_sec"] = round(
             _bench_throughput(small, cycles, remat=False), 1
@@ -478,6 +662,9 @@ def main():
                 1,
             )
             extra["tol_value"] = tol
+            # the quality side of the trade (VERDICT r03 weak #7):
+            # deviation vs the exact 500-iteration run + realized iters
+            extra.update(_tol_quality(batch, tol))
         except Exception as e:  # secondary; never sink the headline bench
             log(f"tol bench failed: {e!r}")
             extra["tol_error"] = str(e)

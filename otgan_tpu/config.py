@@ -83,6 +83,19 @@ class TrainConfig:
     # model matmul/conv compute dtype ("bfloat16" = 4x f32 MXU rate, f32
     # accumulation; params, losses, and ALL matching/Sinkhorn math stay f32)
     compute_dtype: str = "bfloat16"
+    # dtype image batches cross the host->device boundary in:
+    #   "uint8" (default): raw bytes, 3072 B/img — the [0,255] -> [-1,1]
+    #       normalize is fused into the jitted step (engine._ingest;
+    #       bit-identical math to the host path). Half the H2D of bf16,
+    #       a quarter of f32 — on tunneled/remote hosts H2D is the
+    #       end-to-end bottleneck, and the on-device image stacks shrink
+    #       the same factor.
+    #   "compute": emit batches in compute_dtype (the round-3 behavior,
+    #       host-side fused u8->bf16 conversion).
+    #   "float32": full-precision host conversion (reference behavior,
+    #       train.py:158).
+    # Non-image (toy) data is float and unaffected.
+    ingest_dtype: str = "uint8"
     use_pallas: bool = True  # fused Sinkhorn kernel when matrices fit VMEM
     # explicit shard_map matching on multi-device meshes: row-sharded cost +
     # collectively-normalized Sinkhorn (no chip holds a full N x N matrix).
@@ -94,8 +107,16 @@ class TrainConfig:
     # round-robined over chips (the reference's own layout,
     # utils/matching.py:49 — zero per-iteration collectives, each chip runs
     # the full single-chip kernel tiers; heavier (4, B, d) output psum).
-    # docs/DESIGN.md section 4 has the trade-off; both are exact.
-    matching_layout: str = "rows"
+    # "auto" (default): matrices when its per-chip residency estimate fits
+    # matching_memory_budget_gb, rows otherwise — the resolved choice (and
+    # the estimate) is recorded in the run's `matcher` metric.
+    # docs/DESIGN.md section 4 has the trade-off + numbers; all are exact.
+    matching_layout: str = "auto"
+    # per-chip HBM the auto rule may spend on the matrix-parallel layout's
+    # extra residency ((4,B,d) f32 accumulator + 2 gathered (B,d) feature
+    # copies + whole cost matrices; engine.auto_layout_estimate). See
+    # DESIGN.md section 4 for the measured calibration.
+    matching_memory_budget_gb: float = 4.0
     # feature-stage gradient accumulation: split each step's batch into this
     # many microbatches — model forward/backward run per microbatch while the
     # matching stays GLOBAL over the full batch. Exact, not approximate: the

@@ -165,13 +165,20 @@ class DataLoader:
         self.return_labels = return_labels
         self.prefetch = prefetch
         self.rng = rng if rng is not None else np.random.default_rng(1)
-        # batches are emitted in this dtype; pass the model's compute dtype
-        # (bf16 default) so the fused native kernel converts uint8 -> bf16
-        # in one pass — no separate host float32 pass, half the H2D bytes
-        # (the engine's boundary cast then no-ops). Only f32/bf16 emission
-        # exists; any other compute dtype (e.g. float16) falls back to f32
-        # batches and the engine's boundary cast handles the conversion
-        if out_dtype not in ("bfloat16", "bf16"):
+        # batches are emitted in this dtype:
+        #   "uint8"   (default ingest, --ingest_dtype): gather + flip ONLY —
+        #             the [0,255] -> [-1,1] normalize is fused into the
+        #             jitted step on device (engine._ingest). 3072 B/img
+        #             over H2D, half of bf16, quarter of f32. Requires the
+        #             dataset to be stored uint8 (falls back to f32 when a
+        #             pre-normalized float dataset was passed in).
+        #   "bfloat16": fused native uint8 -> bf16 conversion (RNE) at
+        #             assembly time; 6144 B/img.
+        #   anything else: float32 batches; the engine's boundary cast
+        #             handles the conversion.
+        if out_dtype in ("uint8", "u8") and not self._u8:
+            out_dtype = "float32"  # float dataset cannot emit raw uint8
+        elif out_dtype not in ("bfloat16", "bf16", "uint8", "u8"):
             out_dtype = "float32"
         self.out_dtype = out_dtype
 

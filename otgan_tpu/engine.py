@@ -99,81 +99,29 @@ class Engine:
             shard = max(cfg.batch_size // max(n_dev, 1), 1)
             self.matcher_desc = "random (--no_sinkhorn ablation)"
             return functools.partial(match_random, shard_size=shard)
-        if cfg.matching_layout not in ("rows", "matrices"):
+        if cfg.matching_layout not in ("auto", "rows", "matrices"):
             raise ValueError(
-                "matching_layout must be 'rows' or 'matrices', got "
+                "matching_layout must be 'auto', 'rows' or 'matrices', got "
                 f"{cfg.matching_layout!r}"
             )
         if cfg.sharded_matching and n_dev > 1:
-            kind = "single" if cfg.single_batch else "two"
-            if cfg.matching_layout == "matrices":
-                # matrix-parallel: whole Sinkhorn instances per chip (the
-                # reference's round-robin, utils/matching.py:49) — zero
-                # per-iteration collectives, full single-chip kernel tiers
-                from otgan_tpu.parallel.matching_matrix import (
-                    make_matrix_parallel_single_batch_matcher,
-                    make_matrix_parallel_two_batch_matcher,
-                )
-
+            if cfg.matching_layout == "auto":
+                # the memory-feasibility rule needs the critic feature dim,
+                # which is only known once the model is built — resolve at
+                # init_state (before the driver logs matcher_desc), or
+                # lazily at first trace for engines driven without init
                 self.matcher_desc = (
-                    f"matrix-parallel ({kind}-batch, whole matrices "
-                    f"round-robined over the {n_dev}-device mesh)"
+                    "auto (layout resolves on the critic feature dim)"
                 )
-                make = (
-                    make_matrix_parallel_single_batch_matcher
-                    if cfg.single_batch
-                    else make_matrix_parallel_two_batch_matcher
-                )
-            else:
-                from otgan_tpu.parallel.matching_sharded import (
-                    make_sharded_single_batch_matcher,
-                    make_sharded_two_batch_matcher,
-                )
+                self._auto_matchers: dict = {}
 
-                # the row-sharded matcher accepts ANY (even) global batch:
-                # uneven local (half-)batches — e.g. the reference's own
-                # train.py default of 5000 on 8 devices — run through the
-                # padded-halves path. Record which path engages so the
-                # driver can log it loudly (VERDICT r2 weak #3).
-                quantum = n_dev if cfg.single_batch else 2 * n_dev
-                if cfg.batch_size % quantum != 0:
-                    n_half = (
-                        cfg.batch_size
-                        if cfg.single_batch
-                        else cfg.batch_size // 2
+                def auto_matcher(f_a, f_b):
+                    return self.resolve_auto_layout(int(f_a.shape[-1]))(
+                        f_a, f_b
                     )
-                    pad = -n_half % n_dev
-                    if cfg.single_batch:
-                        # no halves in single-batch mode: the whole batch
-                        # is the (one) padded row block
-                        self.matcher_desc = (
-                            f"row-sharded (single-batch, padded rows: "
-                            f"+{pad} pad rows on the {n_dev}-device mesh)"
-                        )
-                    else:
-                        self.matcher_desc = (
-                            f"row-sharded (two-batch, padded halves: "
-                            f"+{pad} pad rows per half on the "
-                            f"{n_dev}-device mesh)"
-                        )
-                else:
-                    self.matcher_desc = (
-                        f"row-sharded ({kind}-batch, whole local halves "
-                        f"on the {n_dev}-device mesh)"
-                    )
-                make = (
-                    make_sharded_single_batch_matcher
-                    if cfg.single_batch
-                    else make_sharded_two_batch_matcher
-                )
-            return make(
-                self.mesh,
-                cfg.sinkhorn_lambda,
-                cfg.nr_sinkhorn_iter,
-                cost_fn=self.cost_fn,
-                tol=cfg.sinkhorn_tol,
-                use_pallas=cfg.use_pallas,
-            )
+
+                return auto_matcher
+            return self._build_layout_matcher(cfg.matching_layout)
         use_pallas = cfg.use_pallas and jax.default_backend() == "tpu"
         match = match_single_batch if cfg.single_batch else match_two_batch
         return functools.partial(
@@ -185,6 +133,127 @@ class Engine:
             tol=cfg.sinkhorn_tol,
         )
 
+    def auto_layout_estimate(self, feature_dim: int) -> dict:
+        """Per-chip extra-HBM estimate of the matrix-parallel layout at
+        this config (docs/DESIGN.md section 4): the f32 ``(4, B, d)``
+        matched-output accumulator + the 2 gathered ``(B, d)`` feature
+        copies + this chip's whole cost matrices. The row-sharded layout
+        gathers features too but carries only ``1/n_dev`` of the outputs
+        and row blocks of the matrices — the accumulator is the delta that
+        decides feasibility."""
+        cfg = self.cfg
+        n_dev = len(self.mesh.devices.flat)
+        B, d = cfg.batch_size, feature_dim
+        n_mats = 3 if cfg.single_batch else 6
+        N = B if cfg.single_batch else B // 2
+        rounds = max(1, -(-n_mats // n_dev))
+        return {
+            "accumulator_bytes": 4 * B * d * 4,
+            "gathered_bytes": 2 * B * d * 4,
+            "matrices_bytes": rounds * N * N * 4,
+        }
+
+    def resolve_auto_layout(self, feature_dim: int) -> Callable:
+        """Pick rows vs matrices for ``--matching_layout auto`` (cached per
+        feature dim; also invoked eagerly by :meth:`init_state` so the
+        driver logs the resolved choice).
+
+        Rule (measured basis, DESIGN.md sections 3-4): the matrix-parallel
+        layout wins on hardware when it fits — zero per-iteration
+        collectives and the full single-chip kernel tiers (the round-3
+        measurement found per-iteration collective kernels 240x slower,
+        while the panel kernel is 5x XLA) — but its f32 ``(4, B, d)``
+        accumulator + gathered features can exceed HBM exactly at paper
+        scale. Pick matrices when the estimate fits the budget
+        (``--matching_memory_budget_gb``), rows otherwise."""
+        cached = self._auto_matchers.get(feature_dim)
+        if cached is not None:
+            return cached
+        est = self.auto_layout_estimate(feature_dim)
+        need = sum(est.values())
+        budget = self.cfg.matching_memory_budget_gb * 1e9
+        layout = "matrices" if need <= budget else "rows"
+        matcher = self._build_layout_matcher(layout)
+        self.matcher_desc += (
+            f" [auto: estimated {need / 1e9:.2f} GB matrix-parallel "
+            f"residency vs {self.cfg.matching_memory_budget_gb:.1f} GB "
+            f"budget -> {layout}]"
+        )
+        self._auto_matchers[feature_dim] = matcher
+        return matcher
+
+    def _build_layout_matcher(self, layout: str) -> Callable:
+        cfg = self.cfg
+        n_dev = len(self.mesh.devices.flat)
+        kind = "single" if cfg.single_batch else "two"
+        if layout == "matrices":
+            # matrix-parallel: whole Sinkhorn instances per chip (the
+            # reference's round-robin, utils/matching.py:49) — zero
+            # per-iteration collectives, full single-chip kernel tiers
+            from otgan_tpu.parallel.matching_matrix import (
+                make_matrix_parallel_single_batch_matcher,
+                make_matrix_parallel_two_batch_matcher,
+            )
+
+            self.matcher_desc = (
+                f"matrix-parallel ({kind}-batch, whole matrices "
+                f"round-robined over the {n_dev}-device mesh)"
+            )
+            make = (
+                make_matrix_parallel_single_batch_matcher
+                if cfg.single_batch
+                else make_matrix_parallel_two_batch_matcher
+            )
+        else:
+            from otgan_tpu.parallel.matching_sharded import (
+                make_sharded_single_batch_matcher,
+                make_sharded_two_batch_matcher,
+            )
+
+            # the row-sharded matcher accepts ANY (even) global batch:
+            # uneven local (half-)batches — e.g. the reference's own
+            # train.py default of 5000 on 8 devices — run through the
+            # padded-halves path. Record which path engages so the
+            # driver can log it loudly (VERDICT r2 weak #3).
+            quantum = n_dev if cfg.single_batch else 2 * n_dev
+            if cfg.batch_size % quantum != 0:
+                n_half = (
+                    cfg.batch_size
+                    if cfg.single_batch
+                    else cfg.batch_size // 2
+                )
+                pad = -n_half % n_dev
+                if cfg.single_batch:
+                    # no halves in single-batch mode: the whole batch
+                    # is the (one) padded row block
+                    self.matcher_desc = (
+                        f"row-sharded (single-batch, padded rows: "
+                        f"+{pad} pad rows on the {n_dev}-device mesh)"
+                    )
+                else:
+                    self.matcher_desc = (
+                        f"row-sharded (two-batch, padded halves: "
+                        f"+{pad} pad rows per half on the "
+                        f"{n_dev}-device mesh)"
+                    )
+            else:
+                self.matcher_desc = (
+                    f"row-sharded ({kind}-batch, whole local halves "
+                    f"on the {n_dev}-device mesh)"
+                )
+            make = (
+                make_sharded_single_batch_matcher
+                if cfg.single_batch
+                else make_sharded_two_batch_matcher
+            )
+        return make(
+            self.mesh,
+            cfg.sinkhorn_lambda,
+            cfg.nr_sinkhorn_iter,
+            cost_fn=self.cost_fn,
+            tol=cfg.sinkhorn_tol,
+            use_pallas=cfg.use_pallas,
+        )
     # -- init (replaces the init pass at train.py:52-56, but actually
     #    executes the data-dependent init; see SURVEY.md section 3.1 step 8) --
     def init_state(self, seed: int, x_init: jax.Array) -> Tuple[TrainState, int]:
@@ -192,10 +261,18 @@ class Engine:
             jax.random.PRNGKey(seed), 4
         )
         dd = self.cfg.data_dependent_init and self.cfg.model != "toy_mlp"
-        disc_init = functools.partial(self.disc.init, data_dependent=dd)
+
+        def disc_init(k, x):
+            # uint8 init batches normalize in-program, same as train steps
+            return self.disc.init(k, self._ingest(x), data_dependent=dd)
+
         gen_init = functools.partial(self.gen.init, data_dependent=dd)
         disc_params, f = jax.jit(disc_init)(k_disc, x_init)
         num_features = f.shape[-1]
+        if hasattr(self, "_auto_matchers"):
+            # resolve --matching_layout auto now that the feature dim is
+            # known, so matcher_desc is final before the driver logs it
+            self.resolve_auto_layout(int(num_features))
         gen_params, _ = jax.jit(gen_init, static_argnums=(2,))(
             k_gen, k_noise, int(x_init.shape[0])
         )
@@ -216,6 +293,7 @@ class Engine:
     ) -> Tuple[TrainState, StepMetrics]:
         cfg = self.cfg
         B = x_data.shape[0]
+        x_data = self._ingest(x_data)
         rng, noise_key = jax.random.split(state.rng)
 
         def loss_fn(gen_params):
@@ -247,6 +325,7 @@ class Engine:
     ) -> Tuple[TrainState, StepMetrics]:
         cfg = self.cfg
         B = x_data.shape[0]
+        x_data = self._ingest(x_data)
         rng, noise_key = jax.random.split(state.rng)
         fake_params = (
             state.gen_ema if cfg.train_disc_against_ema else state.gen_params
@@ -314,9 +393,11 @@ class Engine:
 
         def fwd(_, inp):
             key, x_mb = inp
+            # ingest per microbatch: the full batch stays uint8 in HBM,
+            # only one microbatch is ever live in the compute dtype
             x_gen = self.gen.apply(state.gen_params, key, mb)
             f_gen = self.disc.apply(state.disc_params, x_gen)
-            f_dat = self.disc.apply(state.disc_params, x_mb)
+            f_dat = self.disc.apply(state.disc_params, self._ingest(x_mb))
             return None, (f_gen, f_dat)
 
         _, (fg, fd) = jax.lax.scan(fwd, None, (keys, xs))
@@ -374,7 +455,7 @@ class Engine:
             # phase 3 skips the G recompute entirely
             x_fake = self.gen.apply(fake_params, key, mb)
             f_fake = self.disc.apply(state.disc_params, x_fake)
-            f_dat = self.disc.apply(state.disc_params, x_mb)
+            f_dat = self.disc.apply(state.disc_params, self._ingest(x_mb))
             return None, (x_fake, f_fake, f_dat)
 
         _, (xf, ff, fd) = jax.lax.scan(fwd, None, (keys, xs))
@@ -391,7 +472,7 @@ class Engine:
 
             def loss_mb(disc_params):
                 f_f = self.disc.apply(disc_params, x_fake_mb)
-                f_d = self.disc.apply(disc_params, x_mb)
+                f_d = self.disc.apply(disc_params, self._ingest(x_mb))
                 return jnp.sum(f_d * ct_b_mb) + jnp.sum(f_f * ct_a_mb)
 
             g = jax.grad(loss_mb)(state.disc_params)
@@ -446,8 +527,29 @@ class Engine:
         params = state.gen_ema if ema else state.gen_params
         return self.gen.apply(params, rng, batch_size)
 
+    def _ingest(self, x):
+        """In-program image normalization: uint8 [0,255] -> compute dtype
+        in [-1, 1], traced into the jitted step.
+
+        The uint8 ingest path ships RAW bytes over H2D (3072 B/img — half
+        of bf16, a quarter of f32; on tunneled/remote hosts the transfer
+        is the e2e bottleneck) and keeps the on-device batch stacks uint8
+        (the fused 6-step cycle's image stack at batch 5000 drops
+        184 MB (bf16) -> 92 MB). The normalize is a VPU-free fused
+        elementwise prologue on the first conv's input. Math is
+        bit-identical to the host path: u8 -> f32 (exact) -> /127.5 - 1
+        (f32) -> RNE to the compute dtype — exactly what the native bf16
+        LUT computes (runtime/otgan_host.cpp) and what the reference does
+        on the host (train.py:158, x/127.5 - 1 in float)."""
+        if x.dtype == jnp.uint8:
+            cd = jnp.dtype(self.cfg.compute_dtype)
+            return ((x.astype(jnp.float32) / 127.5) - 1.0).astype(cd)
+        return x
+
     def _to_compute_dtype(self, x):
-        """Cast images to the model compute dtype at the device boundary.
+        """Cast float images to the model compute dtype at the device
+        boundary (uint8 passes through untouched — normalized in-program
+        by :meth:`_ingest`).
 
         Bit-identical to casting inside the first conv (which does
         ``x.astype(compute_dtype)`` anyway — a single round-to-nearest

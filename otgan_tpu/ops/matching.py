@@ -58,6 +58,28 @@ def _mm(p: jax.Array, f: jax.Array) -> jax.Array:
     return jnp.matmul(p, f, precision=_PRECISION)
 
 
+def two_batch_costs(
+    features_a: jax.Array, features_b: jax.Array, cost_fn: Callable = cosine_cost
+) -> jax.Array:
+    """The two-batch mode's 6 stacked cost matrices in reference order:
+    a1a2, b2b1, a1b1, a1b2, a2b1, a2b2 (``utils/matching.py:41-43``).
+    Exposed for diagnostics (e.g. the bench's --sinkhorn_tol quality
+    probe) so callers never re-derive the half-split/order convention."""
+    n = features_a.shape[0] // 2
+    fa1, fa2 = features_a[:n], features_a[n:]
+    fb1, fb2 = features_b[:n], features_b[n:]
+    return jnp.stack(
+        [
+            cost_fn(fa1, fa2),
+            cost_fn(fb2, fb1),
+            cost_fn(fa1, fb1),
+            cost_fn(fa1, fb2),
+            cost_fn(fa2, fb1),
+            cost_fn(fa2, fb2),
+        ]
+    )
+
+
 @functools.partial(
     jax.jit, static_argnames=("lam", "n_iters", "cost_fn", "use_pallas", "tol")
 )
@@ -87,18 +109,7 @@ def match_two_batch(
     fa1, fa2 = features_a[:n], features_a[n:]
     fb1, fb2 = features_b[:n], features_b[n:]
 
-    # 6 cost matrices, stacked -> one batched Sinkhorn. Reference order:
-    # a1a2, b2b1, a1b1, a1b2, a2b1, a2b2 (utils/matching.py:41-43).
-    costs = jnp.stack(
-        [
-            cost_fn(fa1, fa2),
-            cost_fn(fb2, fb1),
-            cost_fn(fa1, fb1),
-            cost_fn(fa1, fb2),
-            cost_fn(fa2, fb1),
-            cost_fn(fa2, fb2),
-        ]
-    )
+    costs = two_batch_costs(features_a, features_b, cost_fn)
     p, ent = sinkhorn_assignment(
         costs, lam, n_iters, use_pallas=use_pallas, tol=tol
     )

@@ -227,6 +227,14 @@ def train(cfg: TrainConfig) -> TrainState:
         n_batches = int(os.environ.get("OTGAN_TOY_EPOCH_BATCHES", "78"))
         loader = None
     else:
+        # batch emission dtype: "compute" resolves to the model compute
+        # dtype; the default "uint8" ships raw bytes and normalizes
+        # in-program (config.ingest_dtype)
+        ingest_dtype = (
+            cfg.compute_dtype
+            if cfg.ingest_dtype == "compute"
+            else cfg.ingest_dtype
+        )
         if cfg.synthetic_data:
             # multi-process: a fresh same-seed rng on every process gives an
             # identical dataset and the loader keeps rows pid::pcount (the
@@ -246,7 +254,7 @@ def train(cfg: TrainConfig) -> TrainState:
                 labels=np.zeros((cfg.synthetic_size,), np.uint8),
                 process_index=pid,
                 process_count=pcount,
-                out_dtype=cfg.compute_dtype,
+                out_dtype=ingest_dtype,
             )
         else:
             loader = DataLoader(
@@ -256,7 +264,7 @@ def train(cfg: TrainConfig) -> TrainState:
                 rng=data_rng,
                 process_index=pid,
                 process_count=pcount,
-                out_dtype=cfg.compute_dtype,
+                out_dtype=ingest_dtype,
             )
         # init pass on a (possibly smaller) prefix: the init forward has
         # no remat and OOMs long before training does on deep families

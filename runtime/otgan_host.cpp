@@ -59,6 +59,18 @@ Lut<uint16_t> make_lut<uint16_t>() {
   return lut;
 }
 
+// identity table: uint8 passthrough (gather + flip only, no conversion) —
+// the normalize happens on-device inside the jitted step, so the host
+// ships 3072 B/img instead of 6144 (bf16) over the H2D link
+template <>
+Lut<uint8_t> make_lut<uint8_t>() {
+  Lut<uint8_t> lut;
+  for (int k = 0; k < 256; ++k) {
+    lut.table[k] = static_cast<uint8_t>(k);
+  }
+  return lut;
+}
+
 template <typename T>
 inline void convert_row_fwd(const uint8_t* src, T* dst, int64_t count,
                             const T* lut) {
@@ -145,6 +157,16 @@ void otgan_assemble_batch_u8_bf16(const uint8_t* data,
                                   const uint8_t* flip_mask, int64_t batch,
                                   int h, int w, int c, uint16_t* out,
                                   int n_threads) {
+  assemble_batch(data, indices, flip_mask, batch, h, w, c, out, n_threads);
+}
+
+// Same, emitting raw uint8 (gather + flip fused, NO normalization): the
+// device-side training step fuses the [0,255] -> [-1,1] conversion into
+// its first ops, halving host->device bytes vs bf16 emission.
+void otgan_assemble_batch_u8_raw(const uint8_t* data, const int64_t* indices,
+                                 const uint8_t* flip_mask, int64_t batch,
+                                 int h, int w, int c, uint8_t* out,
+                                 int n_threads) {
   assemble_batch(data, indices, flip_mask, batch, h, w, c, out, n_threads);
 }
 

@@ -240,7 +240,10 @@ def test_indivisible_batch_runs_row_sharded():
     not divisible by 2*n_devices — since round 3 the engine keeps the
     row-sharded matcher (padded-halves path) instead of falling back to the
     GSPMD global matcher, and records the dispatch in ``matcher_desc``."""
-    cfg = _toy_cfg(batch_size=40)  # 40 % 16 != 0 on the 8-device mesh
+    # layout pinned to rows: this test exercises the row-sharded padding
+    # machinery specifically (the default "auto" may pick matrix-parallel
+    # at toy scale, test_engine_auto_layout)
+    cfg = _toy_cfg(batch_size=40, matching_layout="rows")
     eng = Engine(cfg)
     assert "padded halves" in eng.matcher_desc, eng.matcher_desc
     state, _ = eng.init_state(0, eng.shard(_data(0, 40)))
@@ -248,8 +251,36 @@ def test_indivisible_batch_runs_row_sharded():
     assert np.isfinite(float(met.dist))
 
     # divisible batches keep the zero-copy whole-halves convention
-    eng2 = Engine(_toy_cfg(batch_size=32))
+    eng2 = Engine(_toy_cfg(batch_size=32, matching_layout="rows"))
     assert "whole local halves" in eng2.matcher_desc, eng2.matcher_desc
+
+
+def test_engine_auto_layout():
+    """--matching_layout auto resolves by the memory-feasibility rule at
+    init (VERDICT r03 next #3): matrix-parallel when the per-chip estimate
+    fits the budget, row-sharded otherwise; the decision + estimate land in
+    matcher_desc for the run log."""
+    eng = Engine(_toy_cfg(batch_size=32))  # default layout = auto
+    assert "auto" in eng.matcher_desc
+    state, _ = eng.init_state(0, eng.shard(_data(0, 32)))
+    # toy scale: (4, 32, 16) f32 is far under any budget -> matrices
+    assert "matrix-parallel" in eng.matcher_desc, eng.matcher_desc
+    assert "[auto: estimated" in eng.matcher_desc
+    state, met = eng.gen_step(state, eng.shard(_data(1, 32)))
+    assert np.isfinite(float(met.dist))
+
+    # a tiny budget forces the minimum-memory rows layout
+    eng2 = Engine(_toy_cfg(batch_size=32, matching_memory_budget_gb=1e-9))
+    eng2.resolve_auto_layout(16)
+    assert "row-sharded" in eng2.matcher_desc, eng2.matcher_desc
+
+    # the paper-scale DCGAN shape (B=8000, d=32768) exceeds the default
+    # budget: accumulator alone is 4*8000*32768*4 = 4.2 GB -> rows
+    eng3 = Engine(_toy_cfg(batch_size=8000))
+    est = eng3.auto_layout_estimate(32768)
+    assert est["accumulator_bytes"] == 4 * 8000 * 32768 * 4
+    eng3.resolve_auto_layout(32768)
+    assert "row-sharded" in eng3.matcher_desc, eng3.matcher_desc
 
 
 def test_half_save_policy_is_exact():

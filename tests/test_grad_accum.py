@@ -231,7 +231,10 @@ def test_accum_with_sharded_matcher_on_mesh():
     """grad_accum composes with the row-sharded matcher on an 8-device
     mesh: microbatched model phases, global sharded matching."""
     n_dev = 8
-    cfg = _cfg(batch_size=64, grad_accum=4, num_devices=n_dev)
+    cfg = _cfg(
+        batch_size=64, grad_accum=4, num_devices=n_dev,
+        matching_layout="rows",
+    )
     mesh = make_mesh(n_dev)
     eng = Engine(cfg, mesh=mesh)
     assert "row-sharded" in eng.matcher_desc

@@ -477,6 +477,7 @@ def test_train_resume_with_padded_halves_matcher(tmp_path):
         save_dir=str(tmp_path),
         use_pallas=False,
         save_every_epochs=2,
+        matching_layout="rows",  # pin: this test guards the padded path
     )
     train(TrainConfig(max_epochs=2, **kw))
     recs = [json.loads(l) for l in open(os.path.join(tmp_path, "metrics.jsonl"))]
