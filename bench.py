@@ -93,6 +93,11 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+# every AotCache enabled by this process (their hit/miss telemetry is
+# merged into the final JSON — `cycle_program_cached` counts AOT hits too)
+_AOT_CACHES: list = []
+
+
 def _init_error_payload(init_timeout: float) -> dict:
     """The JSON emitted when device enumeration times out (chip-grant
     outage). Attaches the most recent on-hardware measurement — explicitly
@@ -208,6 +213,20 @@ def _bench_throughput(
         **model_kw,
     )
     eng = Engine(cfg)
+    if os.environ.get("BENCH_AOT", "1") == "1":
+        # AOT executable cache: big programs survive compile-service
+        # restarts (the jax persistent cache's key is session-salted)
+        cache = eng.enable_aot_cache(
+            os.path.join(
+                os.path.expanduser(
+                    os.environ.get("BENCH_COMPILE_CACHE_DIR", "")
+                    or "~/.cache/otgan_tpu/xla"
+                ),
+                "aot",
+            )
+        )
+        if cache is not None:
+            _AOT_CACHES.append(cache)
     sec_per_cycle, per_cycle = _time_cycles(
         eng, cfg, batch, cycles, profile_dir, fused=fused
     )
@@ -718,8 +737,20 @@ def main():
         "compile_cache_hits": len(cache["cache_hits"]),
         "compile_cache_misses": len(cache["cache_misses"]),
         "compile_cache_put_errors": cache["cache_put_errors"],
+        "aot_hits": sorted(
+            {n for c in _AOT_CACHES for n in c.summary()["aot_hits"]}
+        ),
+        "aot_misses": sorted(
+            {n for c in _AOT_CACHES for n in c.summary()["aot_misses"]}
+        ),
+        "aot_errors": sum(c.summary()["aot_errors"] for c in _AOT_CACHES),
         "cycle_program_cached": any(
             "cycle" in n for n in cache["cache_hits"]
+        )
+        or any(
+            "cycle" in n
+            for c in _AOT_CACHES
+            for n in c.summary()["aot_hits"]
         ),
         **extra,
     }

@@ -88,6 +88,26 @@ class Engine:
         self.gen_step = jax.jit(self._gen_impl, donate_argnums=(0,))
         self.disc_step = jax.jit(self._disc_impl, donate_argnums=(0,))
         self.cycle_step = jax.jit(self._cycle_step, donate_argnums=(0,))
+        self.aot_cache = None
+
+    def enable_aot_cache(self, cache_dir: str):
+        """Route the three step programs through the AOT executable cache
+        (``utils/aot_cache.py``): byte-identical lowered modules load a
+        serialized precompiled executable from ``cache_dir`` instead of
+        recompiling — surviving compile-service restarts that defeat the
+        jax persistent cache's key. Single-process only; returns the cache
+        (for telemetry) or ``None`` when inactive."""
+        if not cache_dir or jax.process_count() > 1:
+            return None
+        from otgan_tpu.utils.aot_cache import AotCache, AotJit
+
+        cache = AotCache(cache_dir)
+        tag = f"{self.cfg.model}_b{self.cfg.batch_size}"
+        self.gen_step = AotJit(self.gen_step, cache, f"gen_step_{tag}")
+        self.disc_step = AotJit(self.disc_step, cache, f"disc_step_{tag}")
+        self.cycle_step = AotJit(self.cycle_step, cache, f"cycle_step_{tag}")
+        self.aot_cache = cache
+        return cache
 
     # -- matching mode dispatch (train.py:88-97) --
     def _make_matcher(self) -> Callable[[jax.Array, jax.Array], MatchedFeatures]:

@@ -160,6 +160,18 @@ def train(cfg: TrainConfig) -> TrainState:
     jax.config.update("jax_debug_nans", cfg.debug_nans)
 
     engine = Engine(cfg)
+    if (
+        cfg.compilation_cache_dir
+        and pcount == 1
+        and jax.default_backend() == "tpu"
+    ):
+        # AOT executable cache alongside the jax persistent cache: the big
+        # step programs survive compile-service restarts (VERDICT r03 #2).
+        # TPU-only: on CPU the in-memory jit cache suffices and the suite
+        # deliberately exercises the compile paths.
+        engine.enable_aot_cache(
+            os.path.join(os.path.expanduser(cfg.compilation_cache_dir), "aot")
+        )
     print(
         f"mesh: {engine.mesh}; backend: {jax.default_backend()}; "
         f"global batch: {cfg.batch_size}; matcher: {engine.matcher_desc}"

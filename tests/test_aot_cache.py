@@ -1,0 +1,100 @@
+"""AOT executable cache (``utils/aot_cache.py``, VERDICT r03 next #2):
+serialized compiled step programs reload across processes/sessions, keyed
+on the lowered module bytes — the jax persistent cache's session-salted
+key cannot defeat it, and a key collision cannot serve a stale program
+(byte-identical module = identical program by construction)."""
+
+import os
+
+import numpy as np
+
+from otgan_tpu.config import TrainConfig
+from otgan_tpu.data.toy import sample_8gaussians
+from otgan_tpu.engine import Engine
+from otgan_tpu.utils.aot_cache import AotCache
+
+
+def _cfg(**kw):
+    base = dict(
+        model="toy_mlp",
+        batch_size=64,
+        sinkhorn_lambda=50.0,
+        nr_sinkhorn_iter=8,
+        use_pallas=False,
+    )
+    base.update(kw)
+    return TrainConfig(**base)
+
+
+def _x(seed=0):
+    return np.asarray(sample_8gaussians(np.random.default_rng(seed), 64))
+
+
+def test_aot_cache_round_trip(tmp_path):
+    """miss -> serialize on first engine; hit -> deserialize on a fresh
+    engine; results identical to each other AND to the plain jit path."""
+    # plain path (no cache) as the ground truth
+    eng0 = Engine(_cfg())
+    s0, _ = eng0.init_state(0, eng0.shard(_x()))
+    s0, met0 = eng0.gen_step(s0, eng0.shard(_x(1)))
+
+    eng1 = Engine(_cfg())
+    c1 = eng1.enable_aot_cache(str(tmp_path))
+    s1, _ = eng1.init_state(0, eng1.shard(_x()))
+    s1, met1 = eng1.gen_step(s1, eng1.shard(_x(1)))
+    assert c1.summary()["aot_misses"] == ["gen_step_toy_mlp_b64"]
+    assert len(os.listdir(tmp_path)) == 1  # one serialized executable
+
+    eng2 = Engine(_cfg())  # fresh engine = fresh jit closures
+    c2 = eng2.enable_aot_cache(str(tmp_path))
+    s2, _ = eng2.init_state(0, eng2.shard(_x()))
+    s2, met2 = eng2.gen_step(s2, eng2.shard(_x(1)))
+    assert c2.summary()["aot_hits"] == ["gen_step_toy_mlp_b64"]
+    assert c2.summary()["aot_errors"] == 0
+
+    assert float(met0.dist) == float(met1.dist) == float(met2.dist)
+    import jax
+
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s1.gen_params),
+        jax.tree_util.tree_leaves(s2.gen_params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_aot_cache_key_separates_programs(tmp_path):
+    """Different configs (different lowered modules) get different cache
+    entries — no cross-config reuse."""
+    eng_a = Engine(_cfg())
+    eng_a.enable_aot_cache(str(tmp_path))
+    sa, _ = eng_a.init_state(0, eng_a.shard(_x()))
+    eng_a.gen_step(sa, eng_a.shard(_x(1)))
+
+    eng_b = Engine(_cfg(nr_sinkhorn_iter=9))  # program differs
+    cb = eng_b.enable_aot_cache(str(tmp_path))
+    sb, _ = eng_b.init_state(0, eng_b.shard(_x()))
+    eng_b.gen_step(sb, eng_b.shard(_x(1)))
+    assert cb.summary()["aot_misses"] == ["gen_step_toy_mlp_b64"]
+    assert len(os.listdir(tmp_path)) == 2
+
+
+def test_aot_corrupt_entry_recompiles(tmp_path):
+    """A truncated/corrupt cache file degrades to a recompile (and the
+    entry is rewritten), never a crash."""
+    eng = Engine(_cfg())
+    c = eng.enable_aot_cache(str(tmp_path))
+    s, _ = eng.init_state(0, eng.shard(_x()))
+    eng.gen_step(s, eng.shard(_x(1)))
+    (name,) = os.listdir(tmp_path)
+    with open(os.path.join(tmp_path, name), "wb") as f:
+        f.write(b"garbage")
+
+    eng2 = Engine(_cfg())
+    c2 = eng2.enable_aot_cache(str(tmp_path))
+    s2, _ = eng2.init_state(0, eng2.shard(_x()))
+    _, met = eng2.gen_step(s2, eng2.shard(_x(1)))
+    assert np.isfinite(float(met.dist))
+    summ = c2.summary()
+    assert summ["aot_errors"] >= 1 and summ["aot_misses"]
+    # entry was rewritten whole
+    assert os.path.getsize(os.path.join(tmp_path, name)) > 1000

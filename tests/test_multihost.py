@@ -123,6 +123,63 @@ def test_two_process_toy_train(tmp_path):
     assert np.isfinite(epochs[-1]["dist_gen"])
 
 
+def test_two_process_padded_halves_matching(tmp_path):
+    """The row-sharded padded-halves matcher ACROSS a real process boundary
+    (VERDICT r03 next #6): a conv-model run whose global batch hits the
+    padded class ((B/2) % n_dev != 0 — the shape class of the reference's
+    own 5000-on-8 config, train.py:16,23 + utils/matching.py:16-19). Global
+    batch 10 on the 2-process/2-device mesh: halves of 5, 5 % 2 = 1, so
+    each matching call pads +1 row per half and masks it inside the
+    collective Sinkhorn. Until now this path had single-process mesh
+    coverage only."""
+    port = _free_port()
+    save_dir = str(tmp_path / "run")
+    args = [
+        "--model", "densenet",  # conv/image family (tiny instantiation)
+        "--layers_per_block", "1",
+        "--filters_per_layer", "4",
+        "--synthetic_data",
+        "--synthetic_size", "20",  # 10 rows/process -> 2 steps per epoch
+        "--batch_size", "10",  # GLOBAL; halves of 5 pad to 6 on 2 devices
+        "--matching_layout", "rows",  # pin: this test guards the padded path
+        "--sinkhorn_lambda", "50.0",
+        "--nr_sinkhorn_iter", "5",
+        "--max_epochs", "2",
+        "--eval_every_epochs", "100",
+        "--save_every_epochs", "100",
+        "--save_dir", save_dir,
+        "--no_use_pallas",
+        "--checkpoint_backend", "orbax",
+        "--multihost",
+        "--coordinator_address", f"127.0.0.1:{port}",
+        "--num_processes", "2",
+    ]
+    procs = [_launch(i, port, save_dir, args) for i in range(2)]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=560)
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {i} failed:\n{out[-4000:]}"
+
+    # every process dispatched the padded-halves matcher (the engine logs
+    # its matcher_desc at launch on each host)
+    for i, out in enumerate(outs):
+        assert "padded halves" in out, f"process {i} matcher:\n{out[-2000:]}"
+        assert "+1 pad rows per half" in out
+    # chief-side record + finite, stable metrics (replicated SPMD metrics:
+    # a cross-process divergence would deadlock or NaN the collectives)
+    recs = [
+        json.loads(l) for l in open(os.path.join(save_dir, "metrics.jsonl"))
+    ]
+    matcher = [r for r in recs if "matcher" in r]
+    assert matcher and "padded halves" in matcher[0]["matcher"]
+    epochs = [r for r in recs if "epoch" in r]
+    assert len(epochs) == 2
+    assert np.isfinite(epochs[-1]["dist_gen"])
+    assert np.isfinite(epochs[-1]["entropy"])
+
+
 def test_two_process_inception_eval(tmp_path):
     """_maybe_inception_eval in the pod harness (VERDICT r2 next-round #7):
     every process must participate in the jitted sampling + classification
