@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from otgan_tpu.eval import fid as fid_mod
 from otgan_tpu.eval import inception as inc
-from otgan_tpu.eval import inception_net
+from otgan_tpu.eval.random_weights import scaled_params
 
 # golden values (recipe in docstring; regenerate ONLY for an intentional,
 # understood numerics change — record why in the commit message)
@@ -38,27 +38,11 @@ REF_MU_NORM = 25.237122748069535
 FID = 0.27727853457426554
 
 
-def _scaled_params():
-    def rec(t, in_fc):
-        out = {}
-        for k, v in t.items():
-            if isinstance(v, dict):
-                out[k] = rec(v, in_fc or k == "fc")
-            elif k in ("mean", "bias", "b", "var", "scale"):
-                out[k] = v
-            else:
-                out[k] = v * np.float32(
-                    20.0 if (in_fc or k == "fc") else np.sqrt(2.0)
-                )
-        return out
-
-    rng = np.random.default_rng(2024)
-    return rec(inception_net.init_params(rng, num_classes=1008), False)
-
-
 def test_eval_chain_golden_pins(monkeypatch):
     monkeypatch.setattr(inc, "_BATCH", 16)
-    params = _scaled_params()
+    # the shared zero-egress rehearsal recipe (eval/random_weights.py) —
+    # these pins also freeze THAT module's output
+    params = scaled_params(seed=2024)
     img_rng = np.random.default_rng(2025)
     gen_imgs = img_rng.integers(0, 256, (32, 32, 32, 3)).astype(np.float32)
     ref_imgs = img_rng.integers(0, 256, (32, 32, 32, 3)).astype(np.float32)
@@ -84,3 +68,25 @@ def test_eval_chain_golden_pins(monkeypatch):
         float(np.linalg.norm(mu_r)), REF_MU_NORM, rtol=1e-4
     )
     np.testing.assert_allclose(float(f), FID, rtol=1e-3)
+
+
+def test_random_weights_npz_round_trip(tmp_path, monkeypatch):
+    """eval/random_weights.py writes the converters' npz wire format:
+    inception.load_params must reload the identical tree + variant (the
+    marathon/rehearsal entry point uses exactly this path via
+    OTGAN_INCEPTION_WEIGHTS)."""
+    import jax
+
+    from otgan_tpu.eval import random_weights as rw
+
+    path = rw.save_npz(str(tmp_path / "rw.npz"), seed=2024)
+    monkeypatch.setattr(inc, "_params_cache", None)
+    monkeypatch.setattr(inc, "_variant_cache", "torchvision")
+    loaded = inc.load_params(path)
+    assert inc.get_variant() == "tf2015"
+    direct = rw.scaled_params(seed=2024)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(loaded), jax.tree_util.tree_leaves(direct)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    monkeypatch.setattr(inc, "_params_cache", None)
