@@ -96,6 +96,15 @@ class TrainConfig:
     #       train.py:158).
     # Non-image (toy) data is float and unaffected.
     ingest_dtype: str = "uint8"
+    # overlap the NEXT G:D cycle's host batch assembly + H2D transfer with
+    # the CURRENT cycle's device execution (a depth-1 placement prefetcher
+    # on one worker thread, train._prefetch_placed). At paper scale the
+    # epoch-boundary metrics readback otherwise serializes the transfer
+    # against an idle device — the dominant end-to-end gap (DESIGN.md
+    # section 7). Costs up to one extra placed image stack on device
+    # (uint8: 92 MB for batch 5000's fused 6-step cycle). False = the
+    # round-3 inline placement.
+    host_prefetch: bool = True
     use_pallas: bool = True  # fused Sinkhorn kernel when matrices fit VMEM
     # explicit shard_map matching on multi-device meshes: row-sharded cost +
     # collectively-normalized Sinkhorn (no chip holds a full N x N matrix).

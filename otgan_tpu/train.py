@@ -49,6 +49,60 @@ def _toy_epoch(rng: np.random.Generator, batch_size: int, n_batches: int = 78):
 _distributed_initialized = False
 
 
+def _prefetch_placed(items, place, depth: int = 1):
+    """Iterate ``(epoch, pending)`` work items, yielding
+    ``(epoch, placed)`` with host->device placement of the NEXT cycle
+    running on a single worker thread while the caller consumes the
+    current one.
+
+    With ``depth >= 1`` the next cycle's batch assembly + H2D transfer
+    overlaps the current cycle's device execution — including across the
+    epoch boundary, where the epoch-metrics readback otherwise serializes
+    the tunnel/PCIe transfer against an idle device (the dominant
+    end-to-end gap at paper scale; DESIGN.md section 7). The pull happens
+    BEFORE the yield, so an epoch-end sentinel being processed (blocking
+    host work: metrics readback, sample grids, eval, checkpointing) is
+    exactly when the following epoch's first cycle is placing.
+
+    Device-memory cost: at most one extra placed image stack beyond the
+    inline path (uint8: 92 MB for batch 5000's fused 6-step cycle).
+    ``depth=0`` places inline (the round-3 behavior, ``--no-host_prefetch``).
+    Items whose payload is ``None`` (epoch-end sentinels) pass through
+    unplaced. Worker exceptions re-raise at the consuming ``yield``.
+    """
+    if depth <= 0:
+        for ep, pending in items:
+            yield ep, (None if pending is None else place(pending))
+        return
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
+    it = iter(items)
+    ex = ThreadPoolExecutor(max_workers=1)
+    try:
+        q: deque = deque()
+
+        def pull() -> bool:
+            try:
+                ep, pending = next(it)
+            except StopIteration:
+                return False
+            q.append(
+                (ep, None)
+                if pending is None
+                else (ep, ex.submit(place, pending))
+            )
+            return True
+
+        pull()
+        while q:
+            ep, fut = q.popleft()
+            pull()  # submit the next placement before the caller blocks
+            yield ep, (fut.result() if fut is not None else None)
+    finally:
+        ex.shutdown(wait=True)
+
+
 def maybe_init_distributed(cfg: TrainConfig) -> None:
     """Multi-host (pod) launch: bring up jax.distributed BEFORE any other
     JAX call so every process sees the global device set. Idempotent.
@@ -316,73 +370,107 @@ def train(cfg: TrainConfig) -> TrainState:
     mean_dist_gen, mean_dist_disc = [], []
     start_time = time.time()
 
-    for epoch in range(start_epoch, cfg.max_epochs):
-        begin = time.time()
-        dist_gen, dist_disc, entropies = [], [], []
-        batches = (
-            _toy_epoch(data_rng, local_batch, n_batches)
-            if is_toy
-            else loader.epoch()
-        )
-        period = cfg.nr_gen_per_disc + 1
-        pending: list = []
-        last_logged = [step_counter]
+    period = cfg.nr_gen_per_disc + 1
+    freeze = cfg.disc_freeze_after_steps
 
-        def run_pending():
-            nonlocal state, step_counter
-            if not pending:
-                return
-            freeze = cfg.disc_freeze_after_steps
+    def is_disc_step(s: int) -> bool:
+        # 1 critic step per nr_gen_per_disc generator steps
+        # (train.py:213-226), unless the critic is frozen
+        # (notebook-2 schedule, med_gan_toy_example2.ipynb cell 1)
+        return s % period == 0 and (freeze <= 0 or s < freeze)
 
-            def is_disc_step(s: int) -> bool:
-                # 1 critic step per nr_gen_per_disc generator steps
-                # (train.py:213-226), unless the critic is frozen
-                # (notebook-2 schedule, med_gan_toy_example2.ipynb cell 1)
-                return s % period == 0 and (freeze <= 0 or s < freeze)
+    def work_items():
+        """One ``(epoch, [host batches])`` item per G:D cycle, then an
+        ``(epoch, None)`` sentinel after each epoch's last cycle."""
+        for epoch in range(start_epoch, cfg.max_epochs):
+            batches = (
+                _toy_epoch(data_rng, local_batch, n_batches)
+                if is_toy
+                else loader.epoch()
+            )
+            pending: list = []
+            for x in batches:
+                pending.append(np.asarray(x))
+                if len(pending) == period:
+                    yield epoch, pending
+                    pending = []
+            if pending:
+                yield epoch, pending  # leftover partial cycle
+            yield epoch, None
 
-            if cfg.fused_cycle and len(pending) > 1:
-                xs = engine.shard_steps(np.stack(pending))
-                start = step_counter
-                state, mets = engine.cycle_step(state, xs)
-                for i in range(len(pending)):
-                    is_disc = is_disc_step(start + i)
-                    (dist_disc if is_disc else dist_gen).append(mets.dist[i])
-                    entropies.append(mets.entropy[i])
-                step_counter += len(pending)
-            else:
-                for xb in pending:
-                    x = engine.shard(xb)
-                    if is_disc_step(step_counter):
-                        state, met = engine.disc_step(state, x)
-                        dist_disc.append(met.dist)
-                    else:
-                        state, met = engine.gen_step(state, x)
-                        dist_gen.append(met.dist)
-                    entropies.append(met.entropy)
-                    step_counter += 1
-            if jax.default_backend() == "cpu":
-                # serialize dispatch: concurrent multi-executable collectives
-                # can deadlock XLA:CPU's rendezvous (virtual-device meshes)
-                jax.block_until_ready(state)
-            stride = cfg.log_every_steps
-            if stride and entropies and (
-                step_counter // stride > last_logged[0] // stride
-            ):
-                last_logged[0] = step_counter
-                last_dist = dist_gen[-1] if dist_gen else dist_disc[-1]
-                logger.log(
-                    step_counter,
-                    dist=float(np.asarray(last_dist)),
-                    entropy=float(np.asarray(entropies[-1])),
-                )
-            pending.clear()
+    # On XLA:CPU (virtual-device test meshes) a multi-device device_put
+    # overlapping an executing collective program wedges the same
+    # rendezvous the block_until_ready below guards — so there the worker
+    # thread only ASSEMBLES the host batch and the put happens inline on
+    # the consumer thread. On TPU the put is a DMA that safely overlaps
+    # execution; overlapping it is the point of the prefetcher.
+    cpu_backend = jax.default_backend() == "cpu"
 
-        for x in batches:
-            pending.append(np.asarray(x))
-            if len(pending) == period:
-                run_pending()
-        run_pending()  # leftover partial cycle
+    def place(pending):
+        """One cycle's host assembly (+ device placement off-CPU); runs
+        on the prefetch worker thread: only stacking/``device_put``s,
+        no tracing."""
+        if cfg.fused_cycle and len(pending) > 1:
+            stacked = np.stack(pending)
+            if cpu_backend:
+                return "fused_host", stacked, len(pending)
+            return "fused", engine.shard_steps(stacked), len(pending)
+        if cpu_backend:
+            return "unfused_host", list(pending), len(pending)
+        return "unfused", [engine.shard(xb) for xb in pending], len(pending)
 
+    dist_gen, dist_disc, entropies = [], [], []
+    last_logged = [step_counter]
+
+    def run_placed(placed):
+        nonlocal state, step_counter
+        kind, xs, n = placed
+        if kind == "fused_host":  # CPU backend: deferred placement
+            kind, xs = "fused", engine.shard_steps(xs)
+        elif kind == "unfused_host":
+            kind, xs = "unfused", [engine.shard(xb) for xb in xs]
+        if kind == "fused":
+            start = step_counter
+            state, mets = engine.cycle_step(state, xs)
+            for i in range(n):
+                is_disc = is_disc_step(start + i)
+                (dist_disc if is_disc else dist_gen).append(mets.dist[i])
+                entropies.append(mets.entropy[i])
+            step_counter += n
+        else:
+            for x in xs:
+                if is_disc_step(step_counter):
+                    state, met = engine.disc_step(state, x)
+                    dist_disc.append(met.dist)
+                else:
+                    state, met = engine.gen_step(state, x)
+                    dist_gen.append(met.dist)
+                entropies.append(met.entropy)
+                step_counter += 1
+        if jax.default_backend() == "cpu":
+            # serialize dispatch: concurrent multi-executable collectives
+            # can deadlock XLA:CPU's rendezvous (virtual-device meshes)
+            jax.block_until_ready(state)
+        stride = cfg.log_every_steps
+        if stride and entropies and (
+            step_counter // stride > last_logged[0] // stride
+        ):
+            last_logged[0] = step_counter
+            last_dist = dist_gen[-1] if dist_gen else dist_disc[-1]
+            logger.log(
+                step_counter,
+                dist=float(np.asarray(last_dist)),
+                entropy=float(np.asarray(entropies[-1])),
+            )
+
+    begin = time.time()
+    for epoch, placed in _prefetch_placed(
+        work_items(), place, depth=1 if cfg.host_prefetch else 0
+    ):
+        if placed is not None:
+            run_placed(placed)
+            continue
+        # ---- epoch end (sentinel) ----
         mg = float(np.mean([np.asarray(d) for d in dist_gen])) if dist_gen else float("nan")
         md = float(np.mean([np.asarray(d) for d in dist_disc])) if dist_disc else float("nan")
         mean_dist_gen.append(mg)
@@ -467,6 +555,13 @@ def train(cfg: TrainConfig) -> TrainState:
                     f"{(time.time() - start_time) / 3600:.3f}; "
                     f"total updates {step_counter}"
                 )
+
+        # reset per-epoch accumulators; the timer restarts AFTER the
+        # epoch-end host work so epoch_time keeps its historical meaning
+        # (assembly + steps + metrics readback, not grids/eval/checkpoint)
+        dist_gen, dist_disc, entropies = [], [], []
+        last_logged[0] = step_counter
+        begin = time.time()
 
     if cfg.profile_dir:
         jax.profiler.stop_trace()

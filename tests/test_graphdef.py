@@ -278,7 +278,8 @@ def test_conversion_day_full_pipeline_cli_to_score(tmp_path, monkeypatch):
     mean, std = inc.get_inception_score(images, splits=2)
     assert np.isfinite(mean) and np.isfinite(std)
     # IS is bounded by exp(log n_classes) = 1008 and >= 1 by Jensen
-    assert 1.0 <= mean <= 1008.0
+    # (float accumulation can land an epsilon below 1 on random weights)
+    assert 1.0 - 1e-6 <= mean <= 1008.0
     assert inc.get_variant() == "tf2015"  # detected from the npz, not set
 
     monkeypatch.setattr(inc, "_params_cache", None)

@@ -56,7 +56,8 @@ def test_get_inception_score_end_to_end(monkeypatch):
     params = inception_net.init_params(rng, num_classes=20)
     images = rng.uniform(0, 255, (4, 32, 32, 3)).astype(np.float32)
     mean, std = inc.get_inception_score(images, splits=2, params=params)
-    assert np.isfinite(mean) and np.isfinite(std) and mean >= 1.0
+    # IS >= 1 mathematically; float accumulation can land an epsilon below
+    assert np.isfinite(mean) and np.isfinite(std) and mean >= 1.0 - 1e-6
 
 
 def test_get_inception_score_range_guard():

@@ -242,7 +242,9 @@ def test_two_process_inception_eval(tmp_path):
     ema_scored = [r for r in recs if "ema_inception_score" in r]
     assert len(scored) == 1 and len(ema_scored) == 1, recs
     assert np.isfinite(scored[0]["inception_score"])
-    assert 1.0 <= scored[0]["inception_score"] <= 8.0  # bounded by classes
+    # IS = exp(mean KL) >= 1 mathematically; float accumulation can land
+    # an epsilon below with a random-weight classifier (seen: 1 - 2.1e-9)
+    assert 1.0 - 1e-6 <= scored[0]["inception_score"] <= 8.0
 
     # --eval_fid in the pod: every process runs the combined scorer (the
     # sampling is collective), only the chief logs FID and caches the

@@ -269,6 +269,47 @@ def test_inception_batch_flag():
     assert parse_args([]).inception_batch == 0  # module default preserved
 
 
+def test_host_prefetch_bit_identical(tmp_path, monkeypatch):
+    """--host_prefetch (round 4: depth-1 placement prefetcher overlapping
+    the next cycle's H2D with the current cycle's execution) is a pure
+    scheduling change — per-step metrics must be bit-identical to the
+    inline placement path, across epoch boundaries, the fused cycle, and
+    a leftover partial cycle (6 batches / period 3 / 2 epochs)."""
+    from otgan_tpu.train import train
+
+    monkeypatch.setenv("OTGAN_TOY_EPOCH_BATCHES", "7")  # 2 cycles + partial
+
+    def run(prefetch: bool, where):
+        cfg = TrainConfig(
+            model="toy_mlp",
+            batch_size=64,
+            nr_sinkhorn_iter=5,
+            sinkhorn_lambda=50.0,
+            nr_gen_per_disc=2,
+            max_epochs=2,
+            save_every_epochs=100,
+            save_dir=str(where),
+            use_pallas=False,
+            host_prefetch=prefetch,
+            log_every_steps=1,
+        )
+        train(cfg)
+        return [
+            json.loads(l)
+            for l in open(os.path.join(where, "metrics.jsonl"))
+        ]
+
+    on = run(True, tmp_path / "on")
+    off = run(False, tmp_path / "off")
+    key = lambda recs: [
+        (r["step"], r.get("dist"), r.get("entropy"), r.get("dist_gen"))
+        for r in recs
+        if "dist" in r or "dist_gen" in r
+    ]
+    assert key(on) == key(off)
+    assert len(key(on)) >= 6  # steps and epochs both logged
+
+
 def test_inception_eval_running_max_in_train(tmp_path, monkeypatch):
     """The reference tracks ONE running max over raw+EMA scores across
     evals (train.py:264-272); train() must log max_inception_score with
