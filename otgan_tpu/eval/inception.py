@@ -263,7 +263,13 @@ def _split_update(p, start, real_len, num_samples, upper, s1, s2):
         jnp.searchsorted(upper, gidx, side="right"), 0, s1.shape[0] - 1
     )
     pw = jnp.where(valid[:, None], p, 0.0)
-    plogp = jnp.where(valid, jnp.sum(p * jnp.log(p), axis=-1), 0.0)
+    # x*log(x) with the x->0 limit (0): softmax entries underflow to exact
+    # zero f32 for extreme logits (e.g. random-weight rehearsal classifiers,
+    # early non-EMA generators); the naive product is 0*(-inf)=nan there.
+    # Identical to the reference's kl (utils/inception.py:49) wherever the
+    # reference is finite.
+    xlogx = jnp.where(p > 0.0, p * jnp.log(jnp.where(p > 0.0, p, 1.0)), 0.0)
+    plogp = jnp.where(valid, jnp.sum(xlogx, axis=-1), 0.0)
     return s1.at[sid].add(pw), s2.at[sid].add(plogp), valid
 
 
@@ -372,13 +378,22 @@ def _finalize_split_scores(
 def inception_score_from_preds(
     preds: np.ndarray, splits: int = 10
 ) -> Tuple[float, float]:
-    """Reference split-KL math (``utils/inception.py:46-52``)."""
+    """Reference split-KL math (``utils/inception.py:46-52``), with the
+    ``x*log(x) -> 0`` limit at exact-zero probabilities (f32 softmax
+    underflow for extreme logits); identical output wherever the reference
+    is finite."""
     preds = np.asarray(preds, np.float64)
     n = preds.shape[0]
     scores = []
     for i in range(splits):
         part = preds[i * n // splits : (i + 1) * n // splits]
-        kl = part * (np.log(part) - np.log(np.mean(part, axis=0, keepdims=True)))
+        marginal = np.mean(part, axis=0, keepdims=True)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            kl = np.where(
+                part > 0.0,
+                part * (np.log(part) - np.log(marginal)),
+                0.0,
+            )
         scores.append(np.exp(np.mean(np.sum(kl, axis=1))))
     return float(np.mean(scores)), float(np.std(scores))
 

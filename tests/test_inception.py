@@ -40,6 +40,46 @@ def test_score_math_collapsed_is_one():
     assert abs(mean - 1.0) < 1e-3
 
 
+def test_score_math_exact_zero_probs_finite():
+    """f32 softmax underflows entries to exact 0 for extreme logits (seen
+    at every non-EMA eval of the random-weights b8000 marathon: score=nan
+    while FID from the same features was finite). Both reduction paths
+    must apply the x*log(x)->0 limit and stay finite, matching the
+    float64 score computed on the same distribution with the zeros
+    replaced by a tiny mass (continuity check)."""
+    n, c = 400, 10
+    rng = np.random.default_rng(7)
+    preds = rng.dirichlet(np.full(c, 0.3), size=n).astype(np.float32)
+    # force exact zeros like underflowed softmax outputs
+    preds[preds < 0.05] = 0.0
+    preds /= preds.sum(1, keepdims=True)
+    assert (preds == 0.0).any()
+
+    mean_host, std_host = inc.inception_score_from_preds(preds, splits=10)
+    assert np.isfinite(mean_host) and np.isfinite(std_host)
+
+    # continuity: epsilon-mass version must agree closely
+    eps = np.where(preds == 0.0, 1e-20, preds)
+    eps /= eps.sum(1, keepdims=True)
+    mean_eps, _ = inc.inception_score_from_preds(eps, splits=10)
+    assert abs(mean_host - mean_eps) < 1e-4
+
+    # device sufficient-statistics path on the same zeros
+    splits = 10
+    s1 = jnp.zeros((splits, c), jnp.float32)
+    s2 = jnp.zeros((splits,), jnp.float32)
+    upper = jnp.asarray(
+        [n * (i + 1) // splits for i in range(splits)], jnp.int32
+    )
+    s1, s2, _ = inc._split_update(
+        jnp.asarray(preds), jnp.int32(0), jnp.int32(n), jnp.int32(n),
+        upper, s1, s2,
+    )
+    mean_dev, std_dev = inc._finalize_split_scores(s1, s2, n, splits)
+    assert np.isfinite(mean_dev) and np.isfinite(std_dev)
+    assert abs(mean_dev - mean_host) < 1e-4
+
+
 def test_network_forward_shape():
     rng = np.random.default_rng(0)
     params = inception_net.init_params(rng, num_classes=1000)
@@ -333,6 +373,10 @@ def test_streaming_sampler_score_matches_host_path(monkeypatch):
         stacked[:13], splits=3, params=params
     )
     np.testing.assert_allclose(mean_s, mean_h, rtol=1e-5)
-    np.testing.assert_allclose(std_s, std_h, rtol=1e-4, atol=1e-7)
+    # the split scores here are ~1.0 with near-zero spread, so the f32
+    # device accumulation's std is pure rounding noise at the ulp(1.0)
+    # = 1.19e-7 scale; atol must sit above one ulp (the guarded x*log(x)
+    # changed fusion and moved it from 3e-12 to 1.3e-7)
+    np.testing.assert_allclose(std_s, std_h, rtol=1e-4, atol=5e-7)
     np.testing.assert_allclose(mean_f, mean_h, rtol=1e-6)
     np.testing.assert_allclose(std_f, std_h, rtol=1e-6, atol=1e-9)

@@ -1,0 +1,100 @@
+"""Characterize the DenseNet save-policy compile failure (VERDICT r03
+weak #4 / next #5).
+
+Round 3 recorded only "save-policy variants crash/OOM the remote compile
+helper" (docs/ROUND3_NOTES.md item 3). This probe turns that into data:
+for one policy it AOT-lowers and compiles the DenseNet disc/gen update
+steps ONE AT A TIME on the target backend, recording per-request wall
+time, success/error text, and (on success) ``memory_analysis()`` — so
+the round-4 notes can say exactly WHICH request dies and whether the
+footprint matches the 25.4 G per-segment-remat blowup from round 2
+(docs/BACKLOG.md item 5).
+
+Reference family: /root/reference/models/densenet.py, train.py:29,38-41.
+
+Usage (real chip; run alone — one TPU process at a time):
+
+    PYTHONPATH=/root/repo:/root/.axon_site \
+      OTGAN_POLICY="disc_d2,disc_d3" OTGAN_PROBE_BATCH=256 \
+      python -u tools/densenet_policy_probe.py
+
+On CPU (compile-footprint hypothesis check, no chip/compile service):
+
+    OTGAN_PROBE_CPU=1 OTGAN_POLICY=... python -u tools/densenet_policy_probe.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+
+def main() -> None:
+    batch = int(os.environ.get("OTGAN_PROBE_BATCH", "256"))
+    policy = os.environ.get("OTGAN_POLICY", "disc_d2,disc_d3")
+    if os.environ.get("OTGAN_PROBE_CPU", "0") == "1":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from otgan_tpu.config import TrainConfig
+    from otgan_tpu.engine import Engine
+
+    print(
+        json.dumps(
+            {
+                "probe": "densenet_policy",
+                "backend": jax.default_backend(),
+                "batch": batch,
+                "policy": policy,
+            }
+        ),
+        flush=True,
+    )
+    cfg = TrainConfig(
+        model="densenet", batch_size=batch, remat=True, remat_policy=policy
+    )
+    eng = Engine(cfg)
+    x = jnp.asarray(np.zeros((batch, 32, 32, 3)), jnp.uint8)
+    t0 = time.time()
+    state, _ = eng.init_state(0, eng.shard(x))
+    print(
+        json.dumps({"stage": "init", "sec": round(time.time() - t0, 1)}),
+        flush=True,
+    )
+    for step_name, fn in (("disc", eng._disc_step), ("gen", eng._gen_step)):
+        rec = {"stage": f"compile_{step_name}", "policy": policy}
+        t0 = time.time()
+        try:
+            lowered = jax.jit(fn, donate_argnums=(0,)).lower(
+                state, eng.shard(x)
+            )
+            rec["lower_sec"] = round(time.time() - t0, 1)
+            t0 = time.time()
+            compiled = lowered.compile()
+            rec["compile_sec"] = round(time.time() - t0, 1)
+            try:
+                stats = compiled.memory_analysis()
+                rec["temp_gb"] = round(stats.temp_size_in_bytes / 1e9, 3)
+                rec["argument_gb"] = round(
+                    stats.argument_size_in_bytes / 1e9, 3
+                )
+                if hasattr(stats, "peak_memory_in_bytes"):
+                    rec["peak_gb"] = round(
+                        stats.peak_memory_in_bytes / 1e9, 3
+                    )
+            except Exception as e:  # stats API varies per backend
+                rec["memory_analysis_error"] = repr(e)
+            del compiled, lowered
+        except Exception as e:
+            rec["error"] = repr(e)[:2000]
+            rec["fail_sec"] = round(time.time() - t0, 1)
+        print(json.dumps(rec), flush=True)
+
+
+if __name__ == "__main__":
+    main()
