@@ -77,6 +77,15 @@ def main() -> None:
             t0 = time.time()
             compiled = lowered.compile()
             rec["compile_sec"] = round(time.time() - t0, 1)
+            # on the CPU backend the compiler runs in-process, so the RSS
+            # high-water mark bounds the compile-memory footprint (the
+            # remote-helper-crash hypothesis: docs/BACKLOG.md item 5's
+            # 25.4 G per-segment-remat blowup)
+            import resource
+
+            rec["peak_rss_gb"] = round(
+                resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6, 2
+            )
             try:
                 stats = compiled.memory_analysis()
                 rec["temp_gb"] = round(stats.temp_size_in_bytes / 1e9, 3)
@@ -89,6 +98,25 @@ def main() -> None:
                     )
             except Exception as e:  # stats API varies per backend
                 rec["memory_analysis_error"] = repr(e)
+            if os.environ.get("OTGAN_PROBE_RUN", "0") == "1":
+                # ground truth for the stats: a program whose reported
+                # peak exceeds HBM either OOMs here or proves the
+                # memory_analysis numbers are allocation sums, not
+                # liveness peaks
+                t0 = time.time()
+                try:
+                    out = compiled(state, eng.shard(x))
+                    jax.block_until_ready(out)
+                    rec["run_sec"] = round(time.time() - t0, 1)
+                    rec["ran"] = True
+                    del out
+                    # state was donated to the call; re-init for the next
+                    t0 = time.time()
+                    state, _ = eng.init_state(0, eng.shard(x))
+                    rec["reinit_sec"] = round(time.time() - t0, 1)
+                except Exception as e:
+                    rec["ran"] = False
+                    rec["run_error"] = repr(e)[:2000]
             del compiled, lowered
         except Exception as e:
             rec["error"] = repr(e)[:2000]
