@@ -137,8 +137,12 @@ def densenet_flops(batch: int = 256) -> None:
             remat=(model == "densenet"),
         )
         eng = Engine(cfg, mesh=make_mesh(1))
+        # weight/optimizer shapes are batch-independent, so run the (real,
+        # data-dependent) init at a tiny batch — the b256 DenseNet forward
+        # on this 1-core CPU host would otherwise dominate the analysis
+        x_init = jnp.asarray(np.zeros((16, 32, 32, 3)), jnp.uint8)
+        state, _ = eng.init_state(0, eng.shard(x_init))
         x = jnp.asarray(np.zeros((batch, 32, 32, 3)), jnp.uint8)
-        state, _ = eng.init_state(0, eng.shard(x))
         for step_name, fn in (("gen", eng._gen_step), ("disc", eng._disc_step)):
             lowered = jax.jit(fn, donate_argnums=(0,)).lower(
                 state, eng.shard(x)
