@@ -32,6 +32,11 @@ import time
 
 def main() -> None:
     batch = int(os.environ.get("OTGAN_PROBE_BATCH", "256"))
+    # weight/optimizer shapes are batch-independent, so the (slow,
+    # data-dependent) init can run at a small batch while the step is
+    # lowered at the probe batch — essential for CPU-backend runs on
+    # this 1-core host, where a b512 DenseNet init forward takes ~30 min
+    init_batch = int(os.environ.get("OTGAN_PROBE_INIT_BATCH", str(batch)))
     policy = os.environ.get("OTGAN_POLICY", "disc_d2,disc_d3")
     if os.environ.get("OTGAN_PROBE_CPU", "0") == "1":
         import jax
@@ -60,8 +65,9 @@ def main() -> None:
     )
     eng = Engine(cfg)
     x = jnp.asarray(np.zeros((batch, 32, 32, 3)), jnp.uint8)
+    x_init = jnp.asarray(np.zeros((init_batch, 32, 32, 3)), jnp.uint8)
     t0 = time.time()
-    state, _ = eng.init_state(0, eng.shard(x))
+    state, _ = eng.init_state(0, eng.shard(x_init))
     print(
         json.dumps({"stage": "init", "sec": round(time.time() - t0, 1)}),
         flush=True,
