@@ -60,6 +60,42 @@ def test_toy_baselines_smoke():
             assert np.all(np.isfinite(np.asarray(p["w"])))
 
 
+def test_toy_notebooks_valid_and_consistent():
+    """The notebook mirrors of the reference's toy_example/*.ipynb must be
+    valid nbformat-4 JSON, and every symbol their code cells import from
+    this repo must actually exist (no execution — the heavy math they run
+    is covered by test_toy_baselines_smoke / test_toy_e2e)."""
+    import importlib
+    import json
+    import os
+    import re
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for name in ("med_gan_toy_example1.ipynb", "med_gan_toy_example2.ipynb"):
+        nb = json.load(open(os.path.join(here, "examples", name)))
+        assert nb["nbformat"] == 4
+        code = "\n".join(
+            "".join(c["source"])
+            for c in nb["cells"]
+            if c["cell_type"] == "code"
+        )
+        assert "jax" in code and "mode_coverage" in code
+        # join parenthesized multi-line imports onto one line
+        code = re.sub(
+            r"\(([^)]*)\)", lambda m: "(" + m.group(1).replace("\n", " ") + ")",
+            code,
+        )
+        for m in re.finditer(
+            r"^from ((?:otgan_tpu|examples)\.[\w.]+) import (.+)$",
+            code,
+            re.M,
+        ):
+            mod = importlib.import_module(m.group(1))
+            names = re.sub(r"[()\\\n]", " ", m.group(2))
+            for sym in [s.strip() for s in names.split(",") if s.strip()]:
+                assert hasattr(mod, sym), f"{name}: {m.group(1)}.{sym}"
+
+
 def test_kde_evolution_plot(tmp_path):
     import numpy as np
 
