@@ -24,6 +24,12 @@ session.
 Scope: single-process only (pod topologies change execution devices);
 every failure degrades to the plain jit path — the cache must never take
 a trainer down.
+
+On-disk size is bounded: serialized step executables are large (77-350 MB
+each on the v5e harness), so the directory is LRU-pruned to a byte budget
+(mtime order; a hit refreshes the entry's mtime) at startup and after
+every write. Budget: ``OTGAN_AOT_CACHE_MAX_GB`` (default 20; <= 0 =
+unbounded) or the ``max_bytes`` constructor argument.
 """
 
 from __future__ import annotations
@@ -45,13 +51,18 @@ def _log(msg: str) -> None:
 class AotCache:
     """Directory-backed cache of serialized compiled executables."""
 
-    def __init__(self, cache_dir: str):
+    def __init__(self, cache_dir: str, max_bytes: Optional[int] = None):
         self.cache_dir = os.path.expanduser(cache_dir)
         os.makedirs(self.cache_dir, exist_ok=True)
         # per-process telemetry (surfaced by bench.py / the train driver)
         self.hits: list = []
         self.misses: list = []
         self.errors: list = []
+        if max_bytes is None:
+            gb = float(os.environ.get("OTGAN_AOT_CACHE_MAX_GB", "20"))
+            max_bytes = int(gb * 1e9) if gb > 0 else 0
+        self.max_bytes = max_bytes  # 0 = unbounded
+        self._prune()  # bound whatever earlier sessions left behind
 
     # -- keying --
     def _key(self, lowered, backend) -> str:
@@ -69,6 +80,40 @@ class AotCache:
 
     def _path(self, label: str, key: str) -> str:
         return os.path.join(self.cache_dir, f"{label}-{key[:32]}.jaxexec")
+
+    def _prune(self, keep: str = "") -> None:
+        """LRU-prune the directory to ``max_bytes`` (mtime order — hits
+        refresh mtime, so cold entries age out first). ``keep`` is never
+        evicted (the entry just written). Best-effort: concurrent
+        processes may race on deletion; every error is swallowed — pruning
+        must never take a trainer down."""
+        if not self.max_bytes:
+            return
+        try:
+            entries = []
+            with os.scandir(self.cache_dir) as it:
+                for e in it:
+                    if e.name.endswith(".jaxexec") and e.is_file():
+                        st = e.stat()
+                        entries.append((st.st_mtime, st.st_size, e.path))
+            total = sum(s for _, s, _ in entries)
+            for _, size, path in sorted(entries):
+                if total <= self.max_bytes:
+                    break
+                if path == keep:
+                    continue
+                try:
+                    os.remove(path)
+                except OSError:
+                    continue  # raced with another process
+                total -= size
+                _log(
+                    f"pruned {os.path.basename(path)} ({size / 1e6:.1f} MB; "
+                    f"LRU over the {self.max_bytes / 1e9:.1f} GB budget)"
+                )
+        except Exception as e:  # observability only — never raise
+            self.errors.append(f"prune failed: {e!r}")
+            _log(self.errors[-1])
 
     # -- core --
     def compile(self, jitted, args: tuple, label: str):
@@ -94,6 +139,10 @@ class AotCache:
                     payload, in_tree, out_tree = pickle.load(f)
                 compiled = se.deserialize_and_load(payload, in_tree, out_tree)
                 self.hits.append(label)
+                try:  # refresh the LRU clock: live entries never age out
+                    os.utime(path, None)
+                except OSError:
+                    pass
                 _log(f"{label}: loaded precompiled executable ({path})")
                 return compiled
             except Exception as e:
@@ -116,6 +165,7 @@ class AotCache:
                 f"{label}: compiled + serialized "
                 f"({os.path.getsize(path) / 1e6:.1f} MB -> {path})"
             )
+            self._prune(keep=path)
         except Exception as e:
             # e.g. "Compilation does not support serialization" on
             # backends without the capability — compiled still works

@@ -33,7 +33,13 @@ DEFAULT_CACHE_DIR = "~/.cache/otgan_tpu/xla"
 def enable_compilation_cache(cache_dir: str) -> None:
     """Point jax's persistent compilation cache at ``cache_dir`` (expanded;
     created on demand by jax). Empty/None disables — a no-op. Must run
-    before the first compilation to cover it."""
+    before the first compilation to cover it.
+
+    The on-disk size is bounded via jax's own LRU eviction
+    (``jax_compilation_cache_max_size``): ``OTGAN_XLA_CACHE_MAX_GB``
+    (default 20; <= 0 = unbounded) — paper-scale entries are tens of MB
+    each and a config sweep would otherwise grow the directory without
+    limit, same rationale as the AOT cache's budget (aot_cache.py)."""
     if not cache_dir:
         return
     import jax
@@ -41,6 +47,18 @@ def enable_compilation_cache(cache_dir: str) -> None:
     jax.config.update(
         "jax_compilation_cache_dir", os.path.expanduser(cache_dir)
     )
+    try:
+        # jax's LRU eviction needs the filelock package at first compile —
+        # with max_size set but filelock missing it RAISES there, so only
+        # opt in when the dependency is importable
+        import filelock  # noqa: F401
+
+        gb = float(os.environ.get("OTGAN_XLA_CACHE_MAX_GB", "20"))
+        jax.config.update(
+            "jax_compilation_cache_max_size", int(gb * 1e9) if gb > 0 else -1
+        )
+    except ImportError:
+        pass
 
 
 class CacheTelemetry(logging.Handler):

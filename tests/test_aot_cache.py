@@ -45,11 +45,16 @@ def test_aot_cache_round_trip(tmp_path):
     assert c1.summary()["aot_misses"] == ["gen_step_toy_mlp_b64"]
     assert len(os.listdir(tmp_path)) == 1  # one serialized executable
 
+    (entry,) = os.listdir(tmp_path)
+    entry = os.path.join(tmp_path, entry)
+    os.utime(entry, (1000, 1000))  # backdate: the hit must refresh mtime
+
     eng2 = Engine(_cfg())  # fresh engine = fresh jit closures
     c2 = eng2.enable_aot_cache(str(tmp_path))
     s2, _ = eng2.init_state(0, eng2.shard(_x()))
     s2, met2 = eng2.gen_step(s2, eng2.shard(_x(1)))
     assert c2.summary()["aot_hits"] == ["gen_step_toy_mlp_b64"]
+    assert os.stat(entry).st_mtime > 1000  # LRU clock refreshed on hit
     assert c2.summary()["aot_errors"] == 0
 
     assert float(met0.dist) == float(met1.dist) == float(met2.dist)
@@ -76,6 +81,44 @@ def test_aot_cache_key_separates_programs(tmp_path):
     eng_b.gen_step(sb, eng_b.shard(_x(1)))
     assert cb.summary()["aot_misses"] == ["gen_step_toy_mlp_b64"]
     assert len(os.listdir(tmp_path)) == 2
+
+
+def test_aot_cache_lru_prune(tmp_path):
+    """The on-disk budget holds: oldest-mtime entries are evicted at init
+    and after writes; the just-written entry is never the victim; a hit
+    refreshes the LRU clock (verified through the real compile path in
+    test_aot_cache_round_trip)."""
+    names = ["a-1.jaxexec", "b-2.jaxexec", "c-3.jaxexec"]
+    for i, name in enumerate(names):
+        p = tmp_path / name
+        p.write_bytes(b"x" * 1000)
+        os.utime(p, (1000 + i, 1000 + i))
+    # init-time prune: budget fits two entries -> the oldest goes
+    AotCache(str(tmp_path), max_bytes=2500)
+    assert sorted(os.listdir(tmp_path)) == ["b-2.jaxexec", "c-3.jaxexec"]
+
+    # keep= protects the just-written entry even when it is the oldest
+    c = AotCache(str(tmp_path), max_bytes=0)  # unbounded: no init prune
+    c.max_bytes = 1500  # fits one entry
+    c._prune(keep=str(tmp_path / "b-2.jaxexec"))
+    assert os.listdir(tmp_path) == ["b-2.jaxexec"]
+    assert c.errors == []
+
+    # non-entry files are never touched
+    (tmp_path / "journal.txt").write_bytes(b"y" * 100000)
+    c._prune()
+    assert (tmp_path / "journal.txt").exists()
+
+
+def test_aot_cache_env_budget(tmp_path, monkeypatch):
+    """OTGAN_AOT_CACHE_MAX_GB configures the default budget; <= 0 disables
+    pruning entirely."""
+    monkeypatch.setenv("OTGAN_AOT_CACHE_MAX_GB", "0")
+    assert AotCache(str(tmp_path)).max_bytes == 0
+    monkeypatch.setenv("OTGAN_AOT_CACHE_MAX_GB", "1.5")
+    assert AotCache(str(tmp_path)).max_bytes == int(1.5e9)
+    monkeypatch.delenv("OTGAN_AOT_CACHE_MAX_GB")
+    assert AotCache(str(tmp_path)).max_bytes == int(20e9)
 
 
 def test_aot_corrupt_entry_recompiles(tmp_path):

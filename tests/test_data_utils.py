@@ -515,6 +515,15 @@ def test_compilation_cache_writes_entries(tmp_path):
 
     enable_compilation_cache("")  # no-op must not touch config
     enable_compilation_cache(str(tmp_path))
+    # the directory is size-bounded by default via jax's own LRU eviction
+    # (20 GB; OTGAN_XLA_CACHE_MAX_GB overrides, <= 0 = unbounded)
+    assert jax.config.jax_compilation_cache_max_size == int(20e9)
+    # jax latches its cache handle at first init: an earlier test (or the
+    # session cache conftest.py points at) may have initialized it — force
+    # re-init at THIS test's directory
+    from jax._src import compilation_cache as _cc
+
+    _cc.reset_cache()
     try:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
@@ -529,8 +538,27 @@ def test_compilation_cache_writes_entries(tmp_path):
         # unlatch the cache machinery so later compiles don't attempt puts
         # against the now-dead directory config.
         jax.config.update("jax_compilation_cache_dir", None)
+        jax.config.update("jax_compilation_cache_max_size", -1)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        from jax._src import compilation_cache as _cc
+
+        _cc.reset_cache()
+
+
+def test_compilation_cache_max_size_env_override(tmp_path, monkeypatch):
+    """OTGAN_XLA_CACHE_MAX_GB=-1 (or any <= 0) keeps the cache unbounded."""
+    import jax
+
+    from otgan_tpu.utils.compile_cache import enable_compilation_cache
+
+    monkeypatch.setenv("OTGAN_XLA_CACHE_MAX_GB", "-1")
+    try:
+        enable_compilation_cache(str(tmp_path))
+        assert jax.config.jax_compilation_cache_max_size == -1
+    finally:
+        jax.config.update("jax_compilation_cache_dir", None)
+        jax.config.update("jax_compilation_cache_max_size", -1)
         from jax._src import compilation_cache as _cc
 
         _cc.reset_cache()
@@ -551,6 +579,9 @@ def test_cache_telemetry_records_hits_and_misses(tmp_path):
     )
 
     enable_compilation_cache(str(tmp_path))
+    from jax._src import compilation_cache as _cc_init
+
+    _cc_init.reset_cache()  # re-init at this test's dir (see above)
     tel = install_cache_telemetry()
     try:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
@@ -569,6 +600,7 @@ def test_cache_telemetry_records_hits_and_misses(tmp_path):
         assert s["cache_put_errors"] == 0
     finally:
         jax.config.update("jax_compilation_cache_dir", None)
+        jax.config.update("jax_compilation_cache_max_size", -1)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         from jax._src import compilation_cache as _cc
 
