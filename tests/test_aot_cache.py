@@ -1,12 +1,20 @@
-"""AOT executable cache (``utils/aot_cache.py``, VERDICT r03 next #2):
-serialized compiled step programs reload across processes/sessions, keyed
-on the lowered module bytes — the jax persistent cache's session-salted
-key cannot defeat it, and a key collision cannot serve a stale program
-(byte-identical module = identical program by construction)."""
+"""AOT executable cache (``utils/aot_cache.py``, VERDICT r03 next #2 /
+r04 next #2): serialized compiled step programs reload across processes/
+sessions, keyed on the lowered module bytes — the jax persistent cache's
+session-salted key cannot defeat it, and a key collision cannot serve a
+stale program (byte-identical module = identical program by construction).
+
+The cache is TPU-gated (``Engine.enable_aot_cache``): XLA:CPU's AOT
+loader is known to deserialize executables whose outputs are
+unmaterializable at readback (VERDICT r04 weak #1), so on CPU the engine
+refuses the cache outright and these tests exercise the gate, the
+smoke-validation degrade path (``OTGAN_AOT_FORCE=1`` bypasses the gate),
+and the first-call execution guard with deterministic fault injection."""
 
 import os
 
 import numpy as np
+import pytest
 
 from otgan_tpu.config import TrainConfig
 from otgan_tpu.data.toy import sample_8gaussians
@@ -30,9 +38,31 @@ def _x(seed=0):
     return np.asarray(sample_8gaussians(np.random.default_rng(seed), 64))
 
 
-def test_aot_cache_round_trip(tmp_path):
-    """miss -> serialize on first engine; hit -> deserialize on a fresh
-    engine; results identical to each other AND to the plain jit path."""
+@pytest.fixture
+def force_aot(monkeypatch):
+    """Bypass the TPU backend gate so the full cache path runs on CPU."""
+    monkeypatch.setenv("OTGAN_AOT_FORCE", "1")
+
+
+def test_aot_cache_gated_off_on_cpu(tmp_path):
+    """On a non-TPU backend the engine refuses the AOT cache (the known
+    XLA:CPU poisoned-deserialize failure mode) and the plain jit path
+    carries the steps untouched."""
+    eng = Engine(_cfg())
+    assert eng.enable_aot_cache(str(tmp_path)) is None
+    assert eng.aot_cache is None
+    s, _ = eng.init_state(0, eng.shard(_x()))
+    _, met = eng.gen_step(s, eng.shard(_x(1)))
+    assert np.isfinite(float(met.dist))
+    assert os.listdir(tmp_path) == []  # nothing written
+
+
+def test_aot_cache_round_trip(tmp_path, force_aot):
+    """miss -> serialize on first engine; on a fresh engine the entry is
+    either served (validated hit) or — on backends whose deserialized
+    executables fail smoke validation, e.g. XLA:CPU — evicted and
+    recompiled. BOTH outcomes must yield results identical to the plain
+    jit path; the telemetry must say which happened."""
     # plain path (no cache) as the ground truth
     eng0 = Engine(_cfg())
     s0, _ = eng0.init_state(0, eng0.shard(_x()))
@@ -47,15 +77,22 @@ def test_aot_cache_round_trip(tmp_path):
 
     (entry,) = os.listdir(tmp_path)
     entry = os.path.join(tmp_path, entry)
-    os.utime(entry, (1000, 1000))  # backdate: the hit must refresh mtime
+    os.utime(entry, (1000, 1000))  # backdate: a clean hit must refresh mtime
 
     eng2 = Engine(_cfg())  # fresh engine = fresh jit closures
     c2 = eng2.enable_aot_cache(str(tmp_path))
     s2, _ = eng2.init_state(0, eng2.shard(_x()))
     s2, met2 = eng2.gen_step(s2, eng2.shard(_x(1)))
-    assert c2.summary()["aot_hits"] == ["gen_step_toy_mlp_b64"]
-    assert os.stat(entry).st_mtime > 1000  # LRU clock refreshed on hit
-    assert c2.summary()["aot_errors"] == 0
+    summ = c2.summary()
+    if summ["aot_hits"] == ["gen_step_toy_mlp_b64"]:
+        # clean validated hit: LRU clock refreshed, no errors
+        assert os.stat(entry).st_mtime > 1000
+        assert summ["aot_errors"] == 0
+    else:
+        # smoke validation rejected the deserialized executable (the
+        # XLA:CPU failure mode): entry evicted, recompiled, rewritten
+        assert summ["aot_errors"] >= 1
+        assert summ["aot_misses"] == ["gen_step_toy_mlp_b64"]
 
     assert float(met0.dist) == float(met1.dist) == float(met2.dist)
     import jax
@@ -67,7 +104,7 @@ def test_aot_cache_round_trip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
-def test_aot_cache_key_separates_programs(tmp_path):
+def test_aot_cache_key_separates_programs(tmp_path, force_aot):
     """Different configs (different lowered modules) get different cache
     entries — no cross-config reuse."""
     eng_a = Engine(_cfg())
@@ -81,6 +118,75 @@ def test_aot_cache_key_separates_programs(tmp_path):
     eng_b.gen_step(sb, eng_b.shard(_x(1)))
     assert cb.summary()["aot_misses"] == ["gen_step_toy_mlp_b64"]
     assert len(os.listdir(tmp_path)) == 2
+
+
+def test_aot_poisoned_validation_degrades(tmp_path, force_aot, monkeypatch):
+    """Deterministic fault injection: a deserialized executable that fails
+    when executed is caught by SMOKE VALIDATION (before any trainer state
+    is at risk), evicted, and the program recompiles — results correct,
+    the failure visible in aot_errors, never recorded as a hit."""
+    eng = Engine(_cfg())
+    eng.enable_aot_cache(str(tmp_path))
+    s, _ = eng.init_state(0, eng.shard(_x()))
+    _, met_ref = eng.gen_step(s, eng.shard(_x(1)))
+    (name,) = os.listdir(tmp_path)
+
+    from jax.experimental import serialize_executable as se
+
+    def _poisoned(payload, in_tree, out_tree):
+        def fn(*a):
+            raise RuntimeError("NOT_FOUND: Buffer Definition Event (injected)")
+
+        return fn
+
+    monkeypatch.setattr(se, "deserialize_and_load", _poisoned)
+    eng2 = Engine(_cfg())
+    c2 = eng2.enable_aot_cache(str(tmp_path))
+    s2, _ = eng2.init_state(0, eng2.shard(_x()))
+    _, met2 = eng2.gen_step(s2, eng2.shard(_x(1)))
+    assert float(met2.dist) == float(met_ref.dist)
+    summ = c2.summary()
+    assert summ["aot_hits"] == []  # never trusted
+    assert summ["aot_errors"] >= 1
+    assert summ["aot_misses"] == ["gen_step_toy_mlp_b64"]  # recompiled
+    # the poisoned entry was evicted, then rewritten whole by the recompile
+    assert os.path.exists(os.path.join(tmp_path, name))
+
+
+def test_aot_execution_guard_last_line_of_defense(
+    tmp_path, force_aot, monkeypatch
+):
+    """With smoke validation opted out, a poisoned executable is still
+    caught by the FIRST-CALL execution guard in ``AotJit.__call__``: the
+    entry is evicted and — the failure happening before donation — the
+    call transparently retries on the plain jit path (VERDICT r04 weak
+    #1b: a poisoned serialized entry must never take a trainer down)."""
+    eng = Engine(_cfg())
+    eng.enable_aot_cache(str(tmp_path))
+    s, _ = eng.init_state(0, eng.shard(_x()))
+    _, met_ref = eng.gen_step(s, eng.shard(_x(1)))
+    (name,) = os.listdir(tmp_path)
+
+    monkeypatch.setenv("OTGAN_AOT_VALIDATE", "0")
+    from jax.experimental import serialize_executable as se
+
+    def _poisoned(payload, in_tree, out_tree):
+        def fn(*a):
+            raise RuntimeError("injected poisoned executable")
+
+        return fn
+
+    monkeypatch.setattr(se, "deserialize_and_load", _poisoned)
+    eng2 = Engine(_cfg())
+    c2 = eng2.enable_aot_cache(str(tmp_path))
+    s2, _ = eng2.init_state(0, eng2.shard(_x()))
+    s2, met2 = eng2.gen_step(s2, eng2.shard(_x(1)))  # guard catches + retries
+    assert float(met2.dist) == float(met_ref.dist)
+    assert c2.summary()["aot_errors"] >= 1
+    assert not os.path.exists(os.path.join(tmp_path, name))  # evicted
+    # subsequent calls run unguarded on the plain path
+    s2, met3 = eng2.gen_step(s2, eng2.shard(_x(2)))
+    assert np.isfinite(float(met3.dist))
 
 
 def test_aot_cache_lru_prune(tmp_path):
@@ -121,7 +227,29 @@ def test_aot_cache_env_budget(tmp_path, monkeypatch):
     assert AotCache(str(tmp_path)).max_bytes == int(20e9)
 
 
-def test_aot_corrupt_entry_recompiles(tmp_path):
+def test_aot_cache_key_folds_env(tmp_path, force_aot, monkeypatch):
+    """XLA_FLAGS participates in the cache key (ADVICE r04: flags change
+    codegen without changing the module bytes) — flipping a flag must
+    produce a second entry, not a hit on the first."""
+    eng_a = Engine(_cfg())
+    eng_a.enable_aot_cache(str(tmp_path))
+    sa, _ = eng_a.init_state(0, eng_a.shard(_x()))
+    eng_a.gen_step(sa, eng_a.shard(_x(1)))
+    assert len(os.listdir(tmp_path)) == 1
+
+    monkeypatch.setenv(
+        "XLA_FLAGS",
+        os.environ.get("XLA_FLAGS", "") + " --xla_dummy_distinct_flag",
+    )
+    eng_b = Engine(_cfg())
+    cb = eng_b.enable_aot_cache(str(tmp_path))
+    sb, _ = eng_b.init_state(0, eng_b.shard(_x()))
+    eng_b.gen_step(sb, eng_b.shard(_x(1)))
+    assert cb.summary()["aot_misses"] == ["gen_step_toy_mlp_b64"]
+    assert len(os.listdir(tmp_path)) == 2
+
+
+def test_aot_corrupt_entry_recompiles(tmp_path, force_aot):
     """A truncated/corrupt cache file degrades to a recompile (and the
     entry is rewritten), never a crash."""
     eng = Engine(_cfg())
