@@ -471,16 +471,32 @@ def train(cfg: TrainConfig) -> TrainState:
             run_placed(placed)
             continue
         # ---- epoch end (sentinel) ----
-        mg = float(np.mean([np.asarray(d) for d in dist_gen])) if dist_gen else float("nan")
-        md = float(np.mean([np.asarray(d) for d in dist_disc])) if dist_disc else float("nan")
-        mean_dist_gen.append(mg)
-        mean_dist_disc.append(md)
+        # Epochs short enough to contain no D (or no G) step — the
+        # 2-step-epoch bench/rehearsal shapes with the 5:1 schedule — must
+        # not log nan means (VERDICT r04 weak #3): carry the last observed
+        # per-epoch mean forward, flagged, and omit the key entirely until
+        # the first step of that kind has run. The reference's epochs are
+        # always long enough that both kinds occur (train.py:229-231).
+        epoch_vals = {}
+        for key, vals, hist in (
+            ("dist_gen", dist_gen, mean_dist_gen),
+            ("dist_disc", dist_disc, mean_dist_disc),
+        ):
+            if vals:
+                m = float(np.mean([np.asarray(d) for d in vals]))
+                epoch_vals[key] = m
+            elif hist:
+                m = hist[-1]  # carry the last observed epoch mean
+                epoch_vals[key] = m
+                epoch_vals[key + "_carried"] = True
+            else:
+                m = None  # nothing observed yet: omit (backfilled at save)
+            hist.append(m)
         logger.log(
             step_counter,
             epoch=epoch,
             epoch_time=time.time() - begin,
-            dist_gen=mg,
-            dist_disc=md,
+            **epoch_vals,
             entropy=float(np.mean([np.asarray(e) for e in entropies])),
         )
 

@@ -588,3 +588,46 @@ def test_fid_cli_rejects_normalized_image_stack(tmp_path):
     np.save(p, np.random.default_rng(0).uniform(0, 1, (8, 32, 32, 3)))
     with pytest.raises(ValueError, match="uint8-range"):
         fid_mod.main(["--images", p, "--out", str(tmp_path / "o.npz")])
+
+
+def test_short_epochs_never_log_nan_metrics(tmp_path, monkeypatch):
+    """Epochs too short to contain a D step (the 2-step-epoch bench/
+    rehearsal shape with the 5:1 schedule) must not log nan means into
+    metrics.jsonl or distances.npz: the last observed epoch mean is
+    carried forward, flagged ``dist_disc_carried`` (VERDICT r04 weak #3;
+    reference per-epoch reporting: train.py:229-231,277)."""
+    from otgan_tpu.train import train
+
+    monkeypatch.setenv("OTGAN_TOY_EPOCH_BATCHES", "2")  # 2 steps per epoch
+    cfg = TrainConfig(
+        model="toy_mlp",
+        batch_size=64,
+        sinkhorn_lambda=50.0,
+        nr_sinkhorn_iter=5,
+        nr_gen_per_disc=5,  # D at steps 0, 6, ... -> epochs 1-2 are G-only
+        max_epochs=4,
+        save_every_epochs=4,
+        save_dir=str(tmp_path),
+        use_pallas=False,
+    )
+    train(cfg)
+    recs = [json.loads(l) for l in open(os.path.join(tmp_path, "metrics.jsonl"))]
+    epochs = [r for r in recs if "epoch" in r]
+    assert len(epochs) == 4
+    for r in recs:  # NO record anywhere carries a nan
+        for k, v in r.items():
+            if isinstance(v, float):
+                assert np.isfinite(v), (k, r)
+    # epoch 0 has the real D step; epochs 1-2 carry it forward, flagged
+    assert "dist_disc_carried" not in epochs[0]
+    for r in epochs[1:3]:
+        assert r["dist_disc_carried"] is True
+        assert r["dist_disc"] == epochs[0]["dist_disc"]
+    # epoch 3 has a fresh D step (step 6): flag gone, value its own
+    assert "dist_disc_carried" not in epochs[3]
+    # the loss-history artifact is per-epoch aligned and NaN-free
+    hist = np.load(os.path.join(tmp_path, "distances.npz"))
+    assert hist["mean_dist_gen"].shape == (4,)
+    assert hist["mean_dist_disc"].shape == (4,)
+    assert np.isfinite(hist["mean_dist_gen"]).all()
+    assert np.isfinite(hist["mean_dist_disc"]).all()
