@@ -95,3 +95,118 @@ def test_init_error_payload_carries_last_measured_record():
     assert "NOT a fresh measurement" in rec["provenance"]
     assert rec["value"] > 0 and rec["unit"] == "img/s/chip"
     assert rec["paper_8000_img_per_sec"] > 0
+
+
+def _patch_sections(monkeypatch):
+    """Stub every measured quantity so main() exercises only the emission
+    protocol (the measurements themselves are TPU-side)."""
+    monkeypatch.setattr(
+        bench, "_bench_throughput", lambda *a, **k: 100.0
+    )
+    monkeypatch.setattr(
+        bench, "_bench_e2e_trainer",
+        lambda b, epochs=3: {"e2e_img_per_sec": 50.0},
+    )
+    monkeypatch.setattr(
+        bench, "_kernel_parity", lambda: {"parity_vmem_768": 0.0}
+    )
+    monkeypatch.setattr(bench, "_bench_inception", lambda n: (1.0, 1.1))
+    monkeypatch.setattr(bench, "_tol_quality", lambda *a, **k: {})
+
+
+def _json_lines(capsys):
+    import json
+
+    out = capsys.readouterr().out
+    lines = []
+    for line in out.splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            lines.append(json.loads(line))  # EVERY emitted line must parse
+    return lines
+
+
+def test_bench_emits_incremental_json_supersets(monkeypatch, capsys):
+    """Timeout-proof emission (VERDICT r04 missing #1): the headline JSON
+    line is printed the moment it is measured, then re-emitted as an
+    enriched superset after every section — each line complete and valid,
+    last-line-wins."""
+    _patch_sections(monkeypatch)
+    for var in ("BENCH_E2E", "BENCH_DENSENET", "BENCH_DENSENET_5000",
+                "BENCH_PAPER_8000", "BENCH_TOL", "BENCH_INCEPTION",
+                "BENCH_PARITY"):
+        monkeypatch.setenv(var, "1")
+    monkeypatch.setenv("BENCH_TIME_BUDGET", "3600")
+    bench.main()
+    lines = _json_lines(capsys)
+    assert len(lines) >= 8  # headline + one per section + final
+    first, last = lines[0], lines[-1]
+    assert first["value"] == 100.0 and first["unit"] == "img/s/chip"
+    assert "densenet_img_per_sec" not in first  # not yet measured
+    # the final line is a superset of the first
+    for k in first:
+        if k not in ("bench_elapsed_sec", "compile_cache_hits",
+                     "compile_cache_misses", "aot_hits", "aot_misses"):
+            assert k in last, k
+    # every round-3 record key the verdict requires is present
+    assert last["trainer_e2e_img_per_sec_b5000"] == 50.0
+    assert last["densenet_img_per_sec"] == 100.0
+    assert last["densenet_5000_img_per_sec"] == 100.0
+    assert last["paper_8000_img_per_sec"] == 100.0
+    assert last["tol_img_per_sec"] == 100.0
+    assert last["inception_eval_img_per_sec"] == 50000.0
+    assert last["small_batch_img_per_sec"] == 100.0
+    assert last["parity_vmem_768"] == 0.0
+    assert "aot_hits" in last and "cycle_program_cached" in last
+    # monotone growth: each emission is a superset of the previous one
+    for prev, cur in zip(lines, lines[1:]):
+        missing = [
+            k for k in prev
+            if k not in cur and k != "bench_elapsed_sec"
+        ]
+        assert missing == [], missing
+
+
+def test_bench_time_budget_skips_sections_with_keys(monkeypatch, capsys):
+    """An exhausted BENCH_TIME_BUDGET stops STARTING sections; each
+    skipped section leaves an explicit *_skipped key and the final JSON
+    still prints — the record says what was not measured."""
+    _patch_sections(monkeypatch)
+    for var in ("BENCH_E2E", "BENCH_DENSENET", "BENCH_INCEPTION"):
+        monkeypatch.setenv(var, "1")
+    monkeypatch.setenv("BENCH_PARITY", "0")
+    monkeypatch.setenv("BENCH_DENSENET_5000", "0")
+    monkeypatch.setenv("BENCH_PAPER_8000", "0")
+    monkeypatch.setenv("BENCH_TOL", "0")
+    monkeypatch.setenv("BENCH_SMALL_BATCH", "0")
+    monkeypatch.setenv("BENCH_TIME_BUDGET", "0")  # exhausted immediately
+    bench.main()
+    lines = _json_lines(capsys)
+    last = lines[-1]
+    assert last["value"] == 100.0  # headline always measured
+    assert "BENCH_TIME_BUDGET" in last["trainer_e2e_skipped"]
+    assert "BENCH_TIME_BUDGET" in last["densenet_skipped"]
+    assert "BENCH_TIME_BUDGET" in last["inception_skipped"]
+    assert "densenet_img_per_sec" not in last
+    assert "densenet_5000_skipped" not in last  # disabled, not skipped
+
+
+def test_bench_section_failure_never_sinks_the_record(monkeypatch, capsys):
+    """A crashing section records <name>_error and the run continues to
+    the final superset."""
+    _patch_sections(monkeypatch)
+
+    def boom(*a, **k):
+        raise RuntimeError("injected section failure")
+
+    monkeypatch.setattr(bench, "_bench_e2e_trainer", boom)
+    monkeypatch.setenv("BENCH_E2E", "1")
+    for var in ("BENCH_DENSENET", "BENCH_DENSENET_5000", "BENCH_PAPER_8000",
+                "BENCH_TOL", "BENCH_INCEPTION", "BENCH_PARITY"):
+        monkeypatch.setenv(var, "0")
+    monkeypatch.setenv("BENCH_SMALL_BATCH", "0")
+    monkeypatch.setenv("BENCH_TIME_BUDGET", "3600")
+    bench.main()
+    last = _json_lines(capsys)[-1]
+    assert last["value"] == 100.0
+    assert "injected section failure" in last["trainer_e2e_error_b5000"]
