@@ -40,7 +40,15 @@ _test_cache = os.environ.get(
 )
 if _test_cache:
     jax.config.update("jax_compilation_cache_dir", _test_cache)
-    jax.config.update("jax_compilation_cache_max_size", int(5e9))
+    try:
+        # jax's LRU eviction needs the filelock package at first compile —
+        # with max_size set but filelock missing it RAISES there (same
+        # guard as utils/compile_cache.py::enable_compilation_cache)
+        import filelock  # noqa: F401
+
+        jax.config.update("jax_compilation_cache_max_size", int(5e9))
+    except ImportError:
+        pass
 
 
 @pytest.fixture(autouse=True)

@@ -15,6 +15,7 @@ import subprocess
 import sys
 
 import numpy as np
+import pytest
 
 
 def _free_port() -> int:
@@ -180,6 +181,10 @@ def test_two_process_padded_halves_matching(tmp_path):
     assert np.isfinite(epochs[-1]["entropy"])
 
 
+@pytest.mark.slow  # 262 s on the 1-core host (two fresh subprocesses
+# compiling the full eval stack serially, VERDICT r04 weak #4); the pod
+# LAUNCH path stays fast-tier via the two tests above — this adds the
+# eval protocol on top and runs in the per-round slow tier
 def test_two_process_inception_eval(tmp_path):
     """_maybe_inception_eval in the pod harness (VERDICT r2 next-round #7):
     every process must participate in the jitted sampling + classification
