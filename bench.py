@@ -22,7 +22,11 @@ observed harness kill point) stops STARTING new sections once exhausted;
 skipped sections appear as ``<name>_skipped`` keys so the record says
 what was not measured rather than silently omitting it. This restores
 the always-available whole-loop evidence the reference's own timer
-provides (/root/reference/train.py:195-231).
+provides (/root/reference/train.py:195-231). The headline measurement
+itself sits under a stall watchdog (``BENCH_HEADLINE_TIMEOUT``, default
+1500 s): an execution-path outage that hangs the first cycle emits a
+provenance-marked ``bench_error`` record carrying the newest
+``docs/artifacts/bench_measured_r*.json`` instead of dying silently.
 
 Each JSON line has the shape:
   {"metric": ..., "value": img_per_sec_per_chip, "unit": "img/s/chip",
@@ -111,9 +115,10 @@ def log(*a):
 _AOT_CACHES: list = []
 
 
-def _init_error_payload(init_timeout: float) -> dict:
-    """The JSON emitted when device enumeration times out (chip-grant
-    outage). Attaches the most recent on-hardware measurement — explicitly
+def _init_error_payload(init_timeout: float, what: str = "device init") -> dict:
+    """The JSON emitted when device enumeration (or the headline
+    measurement itself) times out — chip-grant/execution-path outage.
+    Attaches the most recent on-hardware measurement — explicitly
     provenance-marked: it is a RECORD of an earlier run, never a fresh
     number — so an outage at harness time doesn't erase the round's
     measured results."""
@@ -123,20 +128,21 @@ def _init_error_payload(init_timeout: float) -> dict:
         "unit": "error",
         "vs_baseline": 0,
         "error": (
-            f"device init did not complete within "
-            f"{init_timeout:.0f}s — TPU tunnel/chip-grant "
-            "service unreachable (environment outage, not "
+            f"{what} did not complete within "
+            f"{init_timeout:.0f}s — TPU tunnel/chip-grant/execution "
+            "service unreachable or stalled (environment outage, not "
             "a code failure)"
         ),
     }
     try:
-        rec = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)),
-            "docs",
-            "artifacts",
-            "bench_measured_r03.json",
+        art = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "docs", "artifacts"
         )
-        with open(rec) as f:
+        recs = sorted(
+            n for n in os.listdir(art)
+            if n.startswith("bench_measured_r") and n.endswith(".json")
+        )
+        with open(os.path.join(art, recs[-1])) as f:  # newest round's record
             err["last_measured"] = json.load(f)
     except Exception:
         pass
@@ -631,11 +637,28 @@ def main():
     # headline FIRST, and its JSON line goes out the moment it exists: the
     # secondary sections below add tens of minutes of cold compiles — if
     # the harness kills a long run mid-way, the number that matters is
-    # already on stdout
+    # already on stdout. The headline itself sits under a stall watchdog:
+    # an execution-path outage can hang the FIRST cycle indefinitely with
+    # zero host CPU (observed r05: compile served from cache in ~30 s,
+    # then the execution RPC never returned) — emit a provenance-marked
+    # error record instead of leaving the harness a silent rc=124.
+    head_timeout = float(os.environ.get("BENCH_HEADLINE_TIMEOUT", "1500"))
+
+    def _emit_headline_stall():
+        print(
+            json.dumps(
+                _init_error_payload(head_timeout, what="headline measurement")
+            ),
+            flush=True,
+        )
+        os._exit(3)
+
+    head_wd = arm(head_timeout, on_timeout=_emit_headline_stall)
     fused = os.environ.get("BENCH_FUSED", "1" if batch <= 5120 else "0") == "1"  # >5120 exceeds HBM fused
     img_per_sec = _bench_throughput(
         batch, cycles, remat=remat, profile_dir=profile_dir, fused=fused
     )
+    head_wd.disarm()
     log(f"HEADLINE b{batch}: {img_per_sec:.1f} img/s/chip")
     emit()
 
