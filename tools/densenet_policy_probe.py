@@ -72,9 +72,43 @@ def main() -> None:
         json.dumps({"stage": "init", "sec": round(time.time() - t0, 1)}),
         flush=True,
     )
+    # OTGAN_PROBE_MODE=jit routes the compile through a PLAIN first call
+    # of jax.jit (device-attached compilation) instead of the explicit
+    # .lower().compile() AOT path — the round-4 crash signature is the
+    # chipless TpuAotCompiler helper subprocess dying, so this tests
+    # whether the device-attached service path survives the same modules
+    # (VERDICT r04 next #5).
+    mode = os.environ.get("OTGAN_PROBE_MODE", "aot")
     for step_name, fn in (("disc", eng._disc_step), ("gen", eng._gen_step)):
-        rec = {"stage": f"compile_{step_name}", "policy": policy}
+        rec = {"stage": f"compile_{step_name}", "policy": policy,
+               "mode": mode}
         t0 = time.time()
+        if mode == "jit":
+            try:
+                jitted = jax.jit(fn, donate_argnums=(0,))
+                out = jitted(state, eng.shard(x))  # compile + run fused
+                jax.block_until_ready(out)
+                rec["first_call_sec"] = round(time.time() - t0, 1)
+                rec["ran"] = True
+                # time a steady-state call for img/s (state was donated;
+                # the new state is the call's own output)
+                state, _met = out
+                t0 = time.time()
+                out = jitted(state, eng.shard(x))
+                jax.block_until_ready(out)
+                state, _met = out
+                rec["steady_sec"] = round(time.time() - t0, 3)
+                rec["img_per_sec"] = round(batch / rec["steady_sec"], 1)
+                # re-init so the next step probes from a fresh state
+                t0 = time.time()
+                state, _ = eng.init_state(0, eng.shard(x_init))
+                rec["reinit_sec"] = round(time.time() - t0, 1)
+            except Exception as e:
+                rec["ran"] = False
+                rec["error"] = repr(e)[:2000]
+                rec["fail_sec"] = round(time.time() - t0, 1)
+            print(json.dumps(rec), flush=True)
+            continue
         try:
             lowered = jax.jit(fn, donate_argnums=(0,)).lower(
                 state, eng.shard(x)
