@@ -27,6 +27,11 @@ itself sits under a stall watchdog (``BENCH_HEADLINE_TIMEOUT``, default
 1500 s): an execution-path outage that hangs the first cycle emits a
 provenance-marked ``bench_error`` record carrying the newest
 ``docs/artifacts/bench_measured_r*.json`` instead of dying silently.
+A headline EXCEPTION (observed r05: RESOURCE_EXHAUSTED from the
+execution service mid-outage) likewise emits the error record
+immediately, then attempts ONE degraded headline (unfused steps +
+the 4-save policy — well under the HBM ceiling) before giving up;
+a successful fallback is flagged ``headline_fallback`` in the record.
 
 Each JSON line has the shape:
   {"metric": ..., "value": img_per_sec_per_chip, "unit": "img/s/chip",
@@ -655,9 +660,47 @@ def main():
 
     head_wd = arm(head_timeout, on_timeout=_emit_headline_stall)
     fused = os.environ.get("BENCH_FUSED", "1" if batch <= 5120 else "0") == "1"  # >5120 exceeds HBM fused
-    img_per_sec = _bench_throughput(
-        batch, cycles, remat=remat, profile_dir=profile_dir, fused=fused
-    )
+    try:
+        img_per_sec = _bench_throughput(
+            batch, cycles, remat=remat, profile_dir=profile_dir, fused=fused
+        )
+    except Exception as e:
+        # An EXCEPTION (not a stall) out of the headline — observed r05:
+        # RESOURCE_EXHAUSTED from the execution service during the
+        # outage, which killed the process with ZERO JSON on stdout.
+        # Emit the provenance-marked error record FIRST (a record now
+        # exists no matter what), then attempt one degraded headline:
+        # unfused steps + the 4-save policy sit well under the HBM
+        # ceiling the fused 5-save program rides, so a service-side
+        # memory leak need not sink the whole round's number.
+        head_wd.disarm()
+        log(f"headline measurement raised: {e!r} — degraded retry")
+        err = _init_error_payload(head_timeout, what="headline measurement")
+        err["error"] = (
+            f"headline measurement raised {type(e).__name__}: {e} "
+            "(execution-service failure; degraded unfused retry follows)"
+        )
+        print(json.dumps(err), flush=True)
+        head_wd = arm(head_timeout, on_timeout=_emit_headline_stall)
+        try:
+            img_per_sec = _bench_throughput(
+                batch, cycles, remat=remat, fused=False,
+                remat_policy=DEFAULT_REMAT_POLICY_LARGE if remat else "",
+            )
+        except Exception as e2:
+            head_wd.disarm()
+            log(f"degraded headline retry also raised: {e2!r}")
+            err2 = _init_error_payload(
+                head_timeout, what="headline measurement"
+            )
+            err2["error"] = (
+                f"headline raised {type(e).__name__} and the degraded "
+                f"unfused retry raised {type(e2).__name__}: {e2}"
+            )
+            print(json.dumps(err2), flush=True)
+            raise SystemExit(4)
+        extra["headline_fallback"] = "unfused_4save"
+        extra["headline_fused_error"] = str(e)
     head_wd.disarm()
     log(f"HEADLINE b{batch}: {img_per_sec:.1f} img/s/chip")
     emit()

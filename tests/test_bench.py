@@ -191,6 +191,65 @@ def test_bench_time_budget_skips_sections_with_keys(monkeypatch, capsys):
     assert "densenet_5000_skipped" not in last  # disabled, not skipped
 
 
+def test_bench_headline_exception_emits_error_then_fallback(
+    monkeypatch, capsys
+):
+    """A headline EXCEPTION (r05: RESOURCE_EXHAUSTED mid-outage killed the
+    process with zero JSON) must emit the provenance-marked error record
+    immediately, then retry degraded (unfused + 4-save); a successful
+    fallback yields a real record flagged headline_fallback."""
+    _patch_sections(monkeypatch)
+    calls = {"n": 0}
+
+    def flaky(batch, cycles, remat, profile_dir="", fused=True, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            assert fused  # first attempt is the configured (fused) one
+            raise RuntimeError("RESOURCE_EXHAUSTED: TPU backend error")
+        assert fused is False  # degraded retry is unfused
+        assert kw.get("remat_policy") == bench.DEFAULT_REMAT_POLICY_LARGE
+        return 77.0
+
+    monkeypatch.setattr(bench, "_bench_throughput", flaky)
+    for var in ("BENCH_E2E", "BENCH_DENSENET", "BENCH_DENSENET_5000",
+                "BENCH_PAPER_8000", "BENCH_TOL", "BENCH_INCEPTION",
+                "BENCH_PARITY"):
+        monkeypatch.setenv(var, "0")
+    monkeypatch.setenv("BENCH_SMALL_BATCH", "0")
+    bench.main()
+    lines = _json_lines(capsys)
+    assert lines[0]["metric"] == "bench_error"
+    assert "RESOURCE_EXHAUSTED" in lines[0]["error"]
+    assert "last_measured" in lines[0]  # record survives even a crash here
+    last = lines[-1]
+    assert last["value"] == 77.0  # the degraded number is a REAL number
+    assert last["headline_fallback"] == "unfused_4save"
+    assert "RESOURCE_EXHAUSTED" in last["headline_fused_error"]
+
+
+def test_bench_headline_double_failure_exits_with_error_record(
+    monkeypatch, capsys
+):
+    """Both headline attempts raising leaves TWO parseable bench_error
+    lines (last-line-wins still yields a valid record) and exits 4."""
+    import pytest
+
+    _patch_sections(monkeypatch)
+
+    def boom(*a, **k):
+        raise RuntimeError("still down")
+
+    monkeypatch.setattr(bench, "_bench_throughput", boom)
+    monkeypatch.setenv("BENCH_SMALL_BATCH", "0")
+    with pytest.raises(SystemExit) as exc:
+        bench.main()
+    assert exc.value.code == 4
+    lines = _json_lines(capsys)
+    assert len(lines) == 2
+    assert all(ln["metric"] == "bench_error" for ln in lines)
+    assert "degraded" in lines[-1]["error"] or "retry" in lines[-1]["error"]
+
+
 def test_bench_section_failure_never_sinks_the_record(monkeypatch, capsys):
     """A crashing section records <name>_error and the run continues to
     the final superset."""
