@@ -289,7 +289,14 @@ def _bench_e2e_trainer(batch: int, epochs: int = 3) -> dict:
     from otgan_tpu import train as train_mod
 
     save_dir = tempfile.mkdtemp(prefix=f"otgan_e2e_b{batch}_")
-    n_steps_per_epoch = 2  # the REHEARSAL shape: dataset = 2 global batches
+    # Epoch shape: default 10 steps/epoch — the reference's OWN CIFAR-10
+    # shape at its train.py batch (50 000 / 5000 = 10 steps,
+    # /root/reference/train.py:16,23,199-211). The previous 2-step shape
+    # (REHEARSAL's) let the depth-1 prefetcher hide at most one of the
+    # two H2D transfers per epoch, under-reporting steady-state e2e by up
+    # to ~15% (2234 vs 2635 img/s at b5000 — DESIGN.md §7 caveat).
+    # BENCH_E2E_STEPS overrides (2 reproduces the old shape).
+    n_steps_per_epoch = int(os.environ.get("BENCH_E2E_STEPS", "10"))
     cfg = TrainConfig(
         batch_size=batch,
         synthetic_data=True,

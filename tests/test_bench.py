@@ -85,6 +85,42 @@ def test_time_cycles_full_batch_init_by_default():
     assert eng.init_rows == 64
 
 
+def test_bench_e2e_uses_reference_epoch_shape(monkeypatch):
+    """The e2e trainer section defaults to the reference's OWN epoch
+    shape — 10 steps/epoch (CIFAR-10 50000/5000, train.py:16,23) — so the
+    depth-1 prefetcher is measured at steady state, not at the 2-step
+    shape where it can hide only half the H2D (DESIGN.md §7 caveat).
+    BENCH_E2E_STEPS overrides."""
+    import json as _json
+    import os as _os
+
+    seen = {}
+
+    def fake_train(cfg):
+        seen["cfg"] = cfg
+        with open(_os.path.join(cfg.save_dir, "metrics.jsonl"), "w") as f:
+            for t in (9.0, 2.0, 2.0):
+                f.write(_json.dumps({"epoch_time": t}) + "\n")
+
+    import otgan_tpu.train as train_mod
+
+    monkeypatch.setattr(train_mod, "train", fake_train)
+    # keep the attribution half cheap: tiny batch, no device work beyond
+    # the loader + one put on the CPU backend
+    out = bench._bench_e2e_trainer(16, epochs=3)
+    cfg = seen["cfg"]
+    assert cfg.synthetic_size == 10 * 16  # 10 steps/epoch default
+    # steady-state epochs exclude the first (compile) epoch
+    assert out["e2e_epoch_sec"] == 2.0
+    import jax
+
+    n_chips = len(jax.devices())
+    assert out["e2e_img_per_sec"] == round(10 * 16 / 2.0 / n_chips, 1)
+    monkeypatch.setenv("BENCH_E2E_STEPS", "2")
+    bench._bench_e2e_trainer(16, epochs=3)
+    assert seen["cfg"].synthetic_size == 2 * 16
+
+
 def test_init_error_payload_carries_last_measured_record():
     """Outage-time bench output must still surface the round's measured
     numbers — as a provenance-marked record, never as a fresh value."""
