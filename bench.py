@@ -857,8 +857,28 @@ def main():
          os.environ.get("BENCH_INCEPTION", tpu_default) == "1",
          sec_inception),
     ]
+    # Execution-service outage cascade (observed r05: after a wedge, EVERY
+    # remaining section fails with RESOURCE_EXHAUSTED — re-hitting the
+    # wedged service with near-ceiling programs burns minutes per section
+    # and can prolong the wedge). Two consecutive sections failing with
+    # service-level signatures mark the record and skip the rest.
+    outage_sigs = (
+        "RESOURCE_EXHAUSTED", "DEADLINE_EXCEEDED", "UNAVAILABLE",
+        "TPU backend error",
+    )
+    outage_streak = 0
     for name, enabled, fn in sections:
         if not enabled:
+            continue
+        if outage_streak >= 2:
+            extra["outage_suspected"] = True
+            extra[f"{name}_skipped"] = (
+                "execution-service outage suspected "
+                f"({outage_streak} consecutive sections failed with "
+                "service-level errors)"
+            )
+            log(f"section {name}: SKIPPED ({extra[f'{name}_skipped']})")
+            emit()
             continue
         elapsed = time.time() - t_start
         if elapsed > budget:
@@ -870,11 +890,24 @@ def main():
             emit()
             continue
         t_sec = time.time()
+        before = set(extra)
         try:
             fn()
         except Exception as e:  # secondary; never sink the headline bench
             log(f"{name} bench failed: {e!r}")
             extra[f"{name}_error"] = str(e)
+        # a section counts toward the outage streak when it recorded any
+        # NEW error key carrying a service-level signature (sections like
+        # trainer_e2e catch per-batch errors themselves, so the except
+        # above is not the only error channel)
+        new_errors = [
+            str(v) for k, v in extra.items()
+            if k not in before and "error" in k
+        ]
+        if any(sig in v for v in new_errors for sig in outage_sigs):
+            outage_streak += 1
+        else:
+            outage_streak = 0
         log(f"section {name}: {time.time() - t_sec:.1f}s")
         emit()
 

@@ -304,7 +304,16 @@ class AotJit:
     alive (failure before donation), transparently retried on the plain
     jit path. When the buffers are gone, the informative error still names
     the evicted entry: the next run recompiles cleanly instead of looping
-    on the poison (VERDICT r04 weak #1b)."""
+    on the poison (VERDICT r04 weak #1b).
+
+    Eviction discriminates entry poison from environment failure: the
+    entry is evicted only when the plain-jit retry SUCCEEDS on the same
+    host state (proving the environment healthy and the entry bad), or
+    when a structural failure strikes after donation. A
+    ``RESOURCE_EXHAUSTED`` whose plain-jit retry also fails is an
+    execution-service/HBM outage (observed r05: an outage-time cascade
+    evicted a perfectly good paper-scale executable) — the entry is KEPT
+    for the healthy-session rerun."""
 
     def __init__(self, jitted, cache: Optional[AotCache], label: str):
         self._jitted = jitted
@@ -326,14 +335,19 @@ class AotJit:
                 f"execution: {e!r}"
             )
             _log(self._cache.errors[-1])
-            if path:
-                self._cache.evict(path, "failed at first execution")
             entry[0], entry[1], entry[2] = self._jitted, False, None
             leaves = jax.tree_util.tree_leaves(args)
             donated = any(
                 getattr(a, "is_deleted", lambda: False)() for a in leaves
             )
             if donated:
+                if _is_resource_exhausted(e):
+                    # environment failure (HBM edge / execution-service
+                    # outage, observed r05), not entry poison: keep the
+                    # entry — a healthy-session rerun reuses it
+                    raise
+                if path:
+                    self._cache.evict(path, "failed at first execution")
                 raise RuntimeError(
                     f"AOT cache entry for {self._label!r} produced a "
                     "poisoned executable and the call's donated buffers "
@@ -341,7 +355,18 @@ class AotJit:
                     "rerun to recompile cleanly"
                 ) from e
             _log(f"{self._label}: retrying on the plain jit path")
-            return self._jitted(*args)
+            out = self._jitted(*args)
+            # force materialization: if the plain path fails too, the
+            # ENVIRONMENT is broken, not the entry (an outage-time
+            # RESOURCE_EXHAUSTED cascade must not evict a valid
+            # paper-scale executable) — the exception propagates with
+            # the entry kept
+            jax.block_until_ready(out)
+            if path:
+                self._cache.evict(
+                    path, "failed at first execution (plain jit succeeded)"
+                )
+            return out
         entry[1] = False  # guard passed: subsequent calls are unwrapped
         return out
 

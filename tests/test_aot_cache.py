@@ -269,3 +269,85 @@ def test_aot_corrupt_entry_recompiles(tmp_path, force_aot):
     assert summ["aot_errors"] >= 1 and summ["aot_misses"]
     # entry was rewritten whole
     assert os.path.getsize(os.path.join(tmp_path, name)) > 1000
+
+
+# -- first-call execution-guard eviction semantics (white-box: the guard
+# is exercised directly with injected executables; r05 observed an
+# outage-time RESOURCE_EXHAUSTED cascade evicting a valid paper-scale
+# entry — eviction must discriminate entry poison from a broken
+# environment) --
+
+from otgan_tpu.utils.aot_cache import AotJit  # noqa: E402
+
+
+def _resource_error(*a):
+    raise RuntimeError(
+        "RESOURCE_EXHAUSTED: TPU backend error (ResourceExhausted)."
+    )
+
+
+def _make(tmp_path, plain_fn):
+    entry_file = tmp_path / "prog-1.jaxexec"
+    entry_file.write_bytes(b"x")
+    cache = AotCache(str(tmp_path), max_bytes=0)
+    return entry_file, cache, AotJit(plain_fn, cache, "prog")
+
+
+def test_aot_guard_keeps_entry_when_environment_broken(tmp_path):
+    """RESOURCE_EXHAUSTED at first execution whose plain-jit retry ALSO
+    fails is an environment outage, not entry poison: the entry is KEPT
+    for the healthy-session rerun and the failure propagates."""
+    entry_file, cache, j = _make(tmp_path, _resource_error)
+    entry = [_resource_error, True, str(entry_file)]
+    with pytest.raises(RuntimeError, match="RESOURCE_EXHAUSTED"):
+        j._guarded_first_call(entry, (np.zeros(2),))
+    assert entry_file.exists()  # NOT evicted — the environment failed
+    assert cache.errors  # but the failure is visible in telemetry
+
+
+def test_aot_guard_evicts_when_plain_path_proves_entry_bad(tmp_path):
+    """The same first-execution failure whose plain-jit retry SUCCEEDS on
+    identical host state proves the entry itself bad: evicted, and the
+    retry's result is returned transparently."""
+    entry_file, cache, j = _make(tmp_path, lambda *a: np.float64(7.0))
+    entry = [_resource_error, True, str(entry_file)]
+    out = j._guarded_first_call(entry, (np.zeros(2),))
+    assert float(out) == 7.0
+    assert not entry_file.exists()  # evicted: plain jit succeeded
+    # subsequent calls through the entry run the plain path unguarded
+    assert entry[0] is j._jitted and entry[1] is False
+
+
+def test_aot_guard_donated_resource_exhausted_keeps_entry(tmp_path):
+    """After donation no retry is possible; a RESOURCE_EXHAUSTED there is
+    still an environment signature — keep the entry, propagate the
+    original error (a structural failure after donation keeps the old
+    evict-and-name-the-entry behavior, tested below)."""
+
+    class _DonatedLeaf:
+        def is_deleted(self):
+            return True
+
+    entry_file, cache, j = _make(tmp_path, lambda *a: np.float64(7.0))
+    entry = [_resource_error, True, str(entry_file)]
+    with pytest.raises(RuntimeError, match="RESOURCE_EXHAUSTED"):
+        j._guarded_first_call(entry, (_DonatedLeaf(),))
+    assert entry_file.exists()
+
+
+def test_aot_guard_donated_structural_failure_evicts(tmp_path):
+    """A structural (non-resource) failure after donation evicts the
+    poisoned entry and raises the informative error naming it."""
+
+    class _DonatedLeaf:
+        def is_deleted(self):
+            return True
+
+    def _poison(*a):
+        raise RuntimeError("NOT_FOUND: Buffer Definition Event (injected)")
+
+    entry_file, cache, j = _make(tmp_path, lambda *a: np.float64(7.0))
+    entry = [_poison, True, str(entry_file)]
+    with pytest.raises(RuntimeError, match="poisoned executable"):
+        j._guarded_first_call(entry, (_DonatedLeaf(),))
+    assert not entry_file.exists()

@@ -305,3 +305,82 @@ def test_bench_section_failure_never_sinks_the_record(monkeypatch, capsys):
     last = _json_lines(capsys)[-1]
     assert last["value"] == 100.0
     assert "injected section failure" in last["trainer_e2e_error_b5000"]
+
+
+def test_bench_outage_cascade_skips_remaining_sections(monkeypatch, capsys):
+    """Two consecutive sections failing with service-level signatures
+    (RESOURCE_EXHAUSTED etc. — the observed r05 post-wedge cascade) mark
+    ``outage_suspected`` and SKIP the remaining sections instead of
+    re-hitting the wedged execution service; the headline and the final
+    superset survive."""
+    calls = {"n": 0}
+
+    def thr(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return 100.0  # the headline measurement succeeds
+        raise RuntimeError(
+            "RESOURCE_EXHAUSTED: TPU backend error (ResourceExhausted)."
+        )
+
+    monkeypatch.setattr(bench, "_bench_throughput", thr)
+
+    def e2e(b, epochs=3):
+        raise RuntimeError(
+            "RESOURCE_EXHAUSTED: TPU backend error (ResourceExhausted)."
+        )
+
+    monkeypatch.setattr(bench, "_bench_e2e_trainer", e2e)
+    monkeypatch.setattr(
+        bench, "_kernel_parity", lambda: {"parity_vmem_768": 0.0}
+    )
+    monkeypatch.setattr(bench, "_bench_inception", lambda n: (1.0, 1.1))
+    monkeypatch.setattr(bench, "_tol_quality", lambda *a, **k: {})
+    for var in ("BENCH_E2E", "BENCH_DENSENET", "BENCH_DENSENET_5000",
+                "BENCH_PAPER_8000", "BENCH_TOL", "BENCH_INCEPTION"):
+        monkeypatch.setenv(var, "1")
+    monkeypatch.setenv("BENCH_PARITY", "0")
+    monkeypatch.setenv("BENCH_SMALL_BATCH", "256")
+    monkeypatch.setenv("BENCH_TIME_BUDGET", "3600")
+    bench.main()
+    last = _json_lines(capsys)[-1]
+    assert last["value"] == 100.0  # headline preserved
+    # streak: trainer_e2e (internal per-batch error channel) + small_batch
+    assert "RESOURCE_EXHAUSTED" in last["trainer_e2e_error_b5000"]
+    assert "RESOURCE_EXHAUSTED" in last["small_batch_error"]
+    assert last["outage_suspected"] is True
+    # everything after the second consecutive service failure is skipped,
+    # not attempted (the stub would have recorded *_error otherwise)
+    for name in ("densenet", "densenet_5000", "paper_8000", "tol",
+                 "inception"):
+        assert "outage suspected" in last[f"{name}_skipped"]
+        assert f"{name}_error" not in last
+    assert calls["n"] == 2  # headline + small_batch only
+
+
+def test_bench_non_service_failures_do_not_trip_outage_skip(
+    monkeypatch, capsys
+):
+    """Generic (non-service) section failures never trigger the outage
+    skip, and a success in between resets the streak."""
+    _patch_sections(monkeypatch)
+
+    def boom(b, epochs=3):
+        raise RuntimeError("injected non-service failure")
+
+    monkeypatch.setattr(bench, "_bench_e2e_trainer", boom)
+    for var in ("BENCH_E2E", "BENCH_DENSENET", "BENCH_TOL"):
+        monkeypatch.setenv(var, "1")
+    for var in ("BENCH_DENSENET_5000", "BENCH_PAPER_8000",
+                "BENCH_INCEPTION", "BENCH_PARITY"):
+        monkeypatch.setenv(var, "0")
+    monkeypatch.setenv("BENCH_SMALL_BATCH", "256")
+    monkeypatch.setenv("BENCH_TIME_BUDGET", "3600")
+    bench.main()
+    last = _json_lines(capsys)[-1]
+    assert "injected non-service failure" in last["trainer_e2e_error_b5000"]
+    assert "outage_suspected" not in last
+    # later sections ran normally
+    assert last["small_batch_img_per_sec"] == 100.0
+    assert last["densenet_img_per_sec"] == 100.0
+    assert last["tol_img_per_sec"] == 100.0
