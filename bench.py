@@ -86,6 +86,7 @@ one-pass IS+FID scorer and report its overhead vs IS alone).
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -889,6 +890,11 @@ def main():
             log(f"section {name}: SKIPPED ({extra[f'{name}_skipped']})")
             emit()
             continue
+        # break Engine<->jit reference cycles from the previous section so
+        # its compiled programs and any retained device buffers free NOW,
+        # not at an arbitrary later cyclic-GC pass (every section builds a
+        # fresh Engine; the device is near the HBM ceiling at paper scale)
+        gc.collect()
         t_sec = time.time()
         before = set(extra)
         try:

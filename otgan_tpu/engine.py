@@ -88,6 +88,7 @@ class Engine:
         self.gen_step = jax.jit(self._gen_impl, donate_argnums=(0,))
         self.disc_step = jax.jit(self._disc_impl, donate_argnums=(0,))
         self.cycle_step = jax.jit(self._cycle_step, donate_argnums=(0,))
+        self.sample = jax.jit(self._sample_impl, static_argnums=(2, 3))
         self.aot_cache = None
 
     def enable_aot_cache(self, cache_dir: str):
@@ -552,8 +553,11 @@ class Engine:
         return jax.lax.scan(body, state, xs)
 
     # -- sampling (train.py:72-75, x_gens / x_gens_ema) --
-    @functools.partial(jax.jit, static_argnums=(0, 3, 4))
-    def sample(
+    # jitted per instance in __init__ (NOT a static-self method jit: a
+    # static `self` keys jax's GLOBAL jit cache on the Engine and retains
+    # every instance — and its compiled programs — for the process
+    # lifetime; observed as creeping device memory across bench sections)
+    def _sample_impl(
         self, state: TrainState, rng: jax.Array, batch_size: int, ema: bool = False
     ) -> jax.Array:
         params = state.gen_ema if ema else state.gen_params

@@ -4,6 +4,7 @@ matching-mode dispatch, exact resume (SURVEY.md section 4 item (d))."""
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from otgan_tpu.config import TrainConfig
 from otgan_tpu.data.toy import sample_8gaussians
@@ -56,6 +57,9 @@ def test_matching_mode_dispatch():
             assert float(met.entropy) > 0.0
 
 
+@pytest.mark.slow  # ~97 s cold on the 1-core host (2 full engine
+# compiles); the mechanism keeps a fast-tier guard
+# (test_models.py::test_save_point_mechanism_exact_tiny)
 def test_engine_remat_policy_is_exact():
     """Selective remat through the FULL engine step (jit + donation +
     shard_map matching on the 8-device mesh): updated params and metrics
@@ -283,6 +287,8 @@ def test_engine_auto_layout():
     assert "row-sharded" in eng3.matcher_desc, eng3.matcher_desc
 
 
+@pytest.mark.slow  # ~90 s cold on the 1-core host: 3 compiles of the
+# full-width (32768-d, reference parity) discriminator grad
 def test_half_save_policy_is_exact():
     """save_point_half (disc_c2_half): the half-granularity save must be
     numerically identical to full recompute and to the full-tensor save —

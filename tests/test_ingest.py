@@ -10,6 +10,7 @@ whether it runs on the host (reference ``train.py:158``; the native LUT in
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from otgan_tpu.config import TrainConfig
 from otgan_tpu.data import native
@@ -96,6 +97,10 @@ def test_engine_uint8_step_bit_exact():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow  # ~113 s cold on the 1-core host (4 engine compiles);
+# the fast tier keeps the whole-step bit-exact contract
+# (test_engine_uint8_step_bit_exact) + image-shaped accum plumbing
+# (test_grad_accum.py::test_accum_tiny_conv_smoke)
 def test_engine_uint8_grad_accum_bit_exact():
     """The microbatched phases normalize per microbatch in-scan — still
     bit-identical to the float path."""

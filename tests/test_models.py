@@ -4,6 +4,7 @@ consistency, EMA-apply (reference models/dcgan.py, models/densenet.py)."""
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from otgan_tpu.models import dcgan, densenet, toy_mlp, get_model
 from otgan_tpu.nn.ema import ema_init, ema_update
@@ -108,6 +109,9 @@ def test_remat_matches_plain():
     np.testing.assert_allclose(a, b, atol=1e-6)
 
 
+@pytest.mark.slow  # ~80 s cold on the 1-core host: 6 XLA:CPU compiles of
+# the full-width (32768-d head, reference parity) DCGAN — the save_point
+# MECHANISM keeps a fast-tier guard (test_save_point_mechanism_exact_tiny)
 def test_remat_policy_matches_plain():
     """Selective remat (save_point + save_only_these_names) is a pure
     scheduling decision: forward values AND gradients must match the
@@ -156,3 +160,39 @@ def test_bf16_compute_close_to_f32():
     assert f16.dtype == jnp.float32  # accumulation/output stays f32
     cos = float(jnp.sum(f32 * f16, axis=-1).min())
     assert cos > 0.999, f"bf16 features diverged: min cosine {cos}"
+
+
+def test_save_point_mechanism_exact_tiny():
+    """Fast-tier guard for the save_point/remat_policy MECHANISM at a
+    width that compiles in seconds: a tiny 3-conv module with tagged
+    saves has bit-identical forwards and gradients under no remat, full
+    remat, and selective saves (incl. an inert unknown name). The
+    full-width DCGAN/DenseNet exactness variants are slow-tier
+    (compile-bound on the 1-core CPU host)."""
+    from otgan_tpu.nn.layers import Module, conv2d, save_point
+
+    def spec(scope, x):
+        x = save_point(
+            conv2d(scope, x, 8, stride=(2, 2), pre_activation=None), "t_c1"
+        )
+        x = save_point(conv2d(scope, x, 8, stride=(2, 2)), "t_c2")
+        x = conv2d(scope, x, 4)
+        return jnp.sum(x ** 2)
+
+    x = jnp.asarray(
+        np.random.default_rng(5).uniform(-1, 1, (2, 16, 16, 3)), jnp.float32
+    )
+    plain = Module(spec)
+    params, _ = plain.init(jax.random.PRNGKey(7), x, data_dependent=False)
+    variants = [
+        Module(spec, remat=True),
+        Module(spec, remat=True, remat_policy="t_c1,unknown_name_is_inert"),
+        Module(spec, remat=True, remat_policy="t_c1,t_c2"),
+    ]
+    f0 = float(plain.apply(params, x))
+    g0 = jax.tree.leaves(jax.grad(lambda p: plain.apply(p, x))(params))
+    for m in variants:
+        assert float(m.apply(params, x)) == f0
+        g = jax.tree.leaves(jax.grad(lambda p: m.apply(p, x))(params))
+        for a, b in zip(g0, g):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -124,6 +124,11 @@ def test_two_process_toy_train(tmp_path):
     assert np.isfinite(epochs[-1]["dist_gen"])
 
 
+@pytest.mark.slow  # ~80 s cold on the 1-core host (two fresh conv-model
+# subprocesses); the fast tier keeps the 2-process launch path
+# (test_two_process_toy_train) and the padded-halves matcher is
+# exactness-tested single-process on the 8-device mesh
+# (test_matching_sharded.py)
 def test_two_process_padded_halves_matching(tmp_path):
     """The row-sharded padded-halves matcher ACROSS a real process boundary
     (VERDICT r03 next #6): a conv-model run whose global batch hits the

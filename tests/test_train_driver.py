@@ -5,6 +5,7 @@ import json
 import os
 
 import numpy as np
+import pytest
 
 from otgan_tpu.config import TrainConfig, parse_args
 
@@ -236,6 +237,10 @@ def test_evaluate_cli(tmp_path, monkeypatch):
     assert "fid" in res2 and np.isfinite(res2["fid"]) and res2["fid"] >= 0.0
 
 
+@pytest.mark.slow  # ~100 s cold on the 1-core host (fresh DenseNet train()
+# compile); the prefix logic itself is a one-liner exercised by every
+# init_batch_size drive in the verify recipe and by bench's stubbed
+# test (tests/test_bench.py::test_time_cycles_inits_on_prefix)
 def test_train_with_smaller_init_batch(tmp_path):
     """--init_batch_size runs the data-dependent init pass on a prefix of
     the batch (the init forward has no remat and OOMs before training does
@@ -310,6 +315,9 @@ def test_host_prefetch_bit_identical(tmp_path, monkeypatch):
     assert len(key(on)) >= 6  # steps and epochs both logged
 
 
+@pytest.mark.slow  # ~101 s cold on the 1-core host; the eval-in-train
+# protocol keeps a fast-tier guard (test_fid_eval_in_train + the
+# host-reduce/golden-pin eval tests)
 def test_inception_eval_running_max_in_train(tmp_path, monkeypatch):
     """The reference tracks ONE running max over raw+EMA scores across
     evals (train.py:264-272); train() must log max_inception_score with
