@@ -259,7 +259,9 @@ def _bench_throughput(
     return per_cycle * batch / sec_per_cycle / n_chips
 
 
-def _bench_e2e_trainer(batch: int, epochs: int = 3) -> dict:
+def _bench_e2e_trainer(
+    batch: int, epochs: int = 3, remat_policy=None
+) -> dict:
     """Measure the REAL ``train()`` loop — host batch assembly + H2D + the
     jitted device steps, exactly what a user gets — on synthetic data at
     global batch ``batch``, with a host/H2D/device attribution.
@@ -306,7 +308,10 @@ def _bench_e2e_trainer(batch: int, epochs: int = 3) -> dict:
         save_every_epochs=10 * epochs,  # no checkpoint events in the window
         eval_every_epochs=10 * epochs,
         remat=True,
-        remat_policy=_remat_policy(True, batch),
+        remat_policy=(
+            _remat_policy(True, batch) if remat_policy is None
+            else remat_policy
+        ),
         save_dir=save_dir,
         init_batch_size=min(batch, 512),
     )
@@ -605,6 +610,30 @@ def main():
     extra: dict = {}
     img_per_sec = 0.0
 
+    # SAFE-FIRST / PEAK-LAST headline protocol. The peak policy (5-save at
+    # b<=5000) rides the HBM ceiling and has twice been observed to wedge
+    # the execution service for EVERYTHING that runs after it (every later
+    # allocation RESOURCE_EXHAUSTED, even from fresh processes — see
+    # docs/ROUND5_NOTES.md "late additions"); the 4-save policy at the
+    # same batch runs clean. So the headline is measured with the
+    # under-the-ceiling SAFE policy first, every section runs, and the
+    # peak policy is attempted LAST as a pure record upgrade — a wedge
+    # there can no longer cost anything but the upgrade itself.
+    # BENCH_REMAT_POLICY pins BOTH (explicit user choice, no peak phase);
+    # BENCH_PEAK=0 disables the upgrade attempt.
+    env_policy = os.environ.get("BENCH_REMAT_POLICY")
+    if not remat:
+        safe_policy = peak_policy = ""
+    elif env_policy is not None:
+        safe_policy = peak_policy = env_policy
+    else:
+        safe_policy = DEFAULT_REMAT_POLICY_LARGE
+        peak_policy = (
+            DEFAULT_REMAT_POLICY if batch <= 5000
+            else DEFAULT_REMAT_POLICY_LARGE
+        )
+    record_policy = {"value": safe_policy}
+
     def emit():
         """Print the CURRENT full result as one JSON line (stdout). Called
         after the headline and after every section: each line is a
@@ -623,7 +652,7 @@ def main():
                 round(img_per_sec / 260.0, 2),
                 round(img_per_sec / 140.0, 2),
             ],
-            "remat_policy": _remat_policy(remat, batch),
+            "remat_policy": record_policy["value"],
             "bench_elapsed_sec": round(time.time() - t_start, 1),
             "compile_cache_hits": len(cache["cache_hits"]),
             "compile_cache_misses": len(cache["cache_misses"]),
@@ -670,7 +699,8 @@ def main():
     fused = os.environ.get("BENCH_FUSED", "1" if batch <= 5120 else "0") == "1"  # >5120 exceeds HBM fused
     try:
         img_per_sec = _bench_throughput(
-            batch, cycles, remat=remat, profile_dir=profile_dir, fused=fused
+            batch, cycles, remat=remat, profile_dir=profile_dir, fused=fused,
+            remat_policy=safe_policy,
         )
     except Exception as e:
         # An EXCEPTION (not a stall) out of the headline — observed r05:
@@ -727,7 +757,9 @@ def main():
             if not b:
                 continue
             try:
-                r = _bench_e2e_trainer(b, epochs=e2e_epochs)
+                r = _bench_e2e_trainer(
+                    b, epochs=e2e_epochs, remat_policy=safe_policy
+                )
                 extra.update({f"trainer_{k}_b{b}": v for k, v in r.items()})
                 log(f"E2E b{b}: {r}")
             except Exception as e:
@@ -807,6 +839,7 @@ def main():
         extra["tol_img_per_sec"] = round(
             _bench_throughput(
                 batch, cycles, remat=remat, fused=fused, sinkhorn_tol=tol,
+                remat_policy=safe_policy,
             ),
             1,
         )
@@ -916,6 +949,56 @@ def main():
             outage_streak = 0
         log(f"section {name}: {time.time() - t_sec:.1f}s")
         emit()
+
+    # ---- peak headline upgrade, LAST ----
+    # The complete record already exists on stdout; attempting the
+    # ceiling-riding peak program now means a service wedge costs only
+    # this upgrade. A stall here re-emits the good record and exits 0.
+    if peak_policy != safe_policy:
+        elapsed = time.time() - t_start
+        if os.environ.get("BENCH_PEAK", "1") != "1":
+            extra["headline_peak_skipped"] = "BENCH_PEAK=0"
+        elif extra.get("outage_suspected"):
+            extra["headline_peak_skipped"] = (
+                "execution-service outage suspected"
+            )
+        elif elapsed > budget:
+            extra["headline_peak_skipped"] = (
+                f"BENCH_TIME_BUDGET {budget:.0f}s exhausted "
+                f"({elapsed:.0f}s elapsed)"
+            )
+        else:
+            gc.collect()
+            log(
+                f"peak headline attempt ({peak_policy}) — runs LAST: "
+                "this program has wedged the execution service before"
+            )
+
+            def _peak_stall():
+                extra["headline_peak_error"] = (
+                    f"peak attempt stalled (> {head_timeout:.0f}s) — "
+                    "execution-service outage; safe headline retained"
+                )
+                emit()
+                os._exit(0)
+
+            peak_wd = arm(head_timeout, on_timeout=_peak_stall)
+            try:
+                peak = _bench_throughput(
+                    batch, cycles, remat=remat, fused=fused,
+                    remat_policy=peak_policy,
+                )
+            except Exception as e:
+                log(f"peak headline attempt failed: {e!r} — safe retained")
+                extra["headline_peak_error"] = str(e)
+            else:
+                extra["headline_safe_img_per_sec"] = round(img_per_sec, 1)
+                extra["headline_safe_policy"] = safe_policy
+                img_per_sec = peak
+                record_policy["value"] = peak_policy
+                log(f"PEAK HEADLINE b{batch}: {peak:.1f} img/s/chip")
+            peak_wd.disarm()
+            emit()
 
     cache = cache_tel.summary()
     log(

@@ -141,7 +141,7 @@ def _patch_sections(monkeypatch):
     )
     monkeypatch.setattr(
         bench, "_bench_e2e_trainer",
-        lambda b, epochs=3: {"e2e_img_per_sec": 50.0},
+        lambda b, epochs=3, remat_policy=None: {"e2e_img_per_sec": 50.0},
     )
     monkeypatch.setattr(
         bench, "_kernel_parity", lambda: {"parity_vmem_768": 0.0}
@@ -325,7 +325,7 @@ def test_bench_outage_cascade_skips_remaining_sections(monkeypatch, capsys):
 
     monkeypatch.setattr(bench, "_bench_throughput", thr)
 
-    def e2e(b, epochs=3):
+    def e2e(b, epochs=3, remat_policy=None):
         raise RuntimeError(
             "RESOURCE_EXHAUSTED: TPU backend error (ResourceExhausted)."
         )
@@ -356,6 +356,8 @@ def test_bench_outage_cascade_skips_remaining_sections(monkeypatch, capsys):
         assert "outage suspected" in last[f"{name}_skipped"]
         assert f"{name}_error" not in last
     assert calls["n"] == 2  # headline + small_batch only
+    # the peak headline upgrade is pointless against a wedged service
+    assert "outage suspected" in last["headline_peak_skipped"]
 
 
 def test_bench_non_service_failures_do_not_trip_outage_skip(
@@ -365,7 +367,7 @@ def test_bench_non_service_failures_do_not_trip_outage_skip(
     skip, and a success in between resets the streak."""
     _patch_sections(monkeypatch)
 
-    def boom(b, epochs=3):
+    def boom(b, epochs=3, remat_policy=None):
         raise RuntimeError("injected non-service failure")
 
     monkeypatch.setattr(bench, "_bench_e2e_trainer", boom)
@@ -384,3 +386,99 @@ def test_bench_non_service_failures_do_not_trip_outage_skip(
     assert last["small_batch_img_per_sec"] == 100.0
     assert last["densenet_img_per_sec"] == 100.0
     assert last["tol_img_per_sec"] == 100.0
+
+
+def test_bench_safe_first_peak_last_headline(monkeypatch, capsys):
+    """Safe-first/peak-last: the FIRST emitted line carries the
+    under-the-ceiling safe-policy headline; the peak (5-save) program —
+    which has wedged the execution service before — runs only after every
+    section, as a pure record upgrade."""
+    order = []
+
+    def thr(batch, cycles, remat, profile_dir="", fused=True,
+            model="dcgan", remat_policy=None, **kw):
+        order.append(remat_policy)
+        return 90.0 if remat_policy == bench.DEFAULT_REMAT_POLICY_LARGE \
+            else 100.0
+
+    monkeypatch.setattr(bench, "_bench_throughput", thr)
+    monkeypatch.setattr(
+        bench, "_bench_e2e_trainer",
+        lambda b, epochs=3, remat_policy=None: {"e2e_img_per_sec": 50.0},
+    )
+    monkeypatch.setattr(bench, "_tol_quality", lambda *a, **k: {})
+    monkeypatch.setenv("BENCH_E2E", "0")
+    monkeypatch.setenv("BENCH_TOL", "1")
+    for var in ("BENCH_DENSENET", "BENCH_DENSENET_5000", "BENCH_PAPER_8000",
+                "BENCH_INCEPTION", "BENCH_PARITY"):
+        monkeypatch.setenv(var, "0")
+    monkeypatch.setenv("BENCH_SMALL_BATCH", "0")
+    monkeypatch.setenv("BENCH_TIME_BUDGET", "3600")
+    monkeypatch.delenv("BENCH_REMAT_POLICY", raising=False)
+    bench.main()
+    lines = _json_lines(capsys)
+    first, last = lines[0], lines[-1]
+    # safe headline first (4-save), peak upgrade last (5-save)
+    assert first["value"] == 90.0
+    assert first["remat_policy"] == bench.DEFAULT_REMAT_POLICY_LARGE
+    assert last["value"] == 100.0
+    assert last["remat_policy"] == bench.DEFAULT_REMAT_POLICY
+    assert last["headline_safe_img_per_sec"] == 90.0
+    assert last["headline_safe_policy"] == bench.DEFAULT_REMAT_POLICY_LARGE
+    # sections (tol) ran BEFORE the peak attempt, both on the safe policy
+    assert order[0] == bench.DEFAULT_REMAT_POLICY_LARGE   # headline
+    assert order[-1] == bench.DEFAULT_REMAT_POLICY        # peak, last
+    assert all(p == bench.DEFAULT_REMAT_POLICY_LARGE for p in order[:-1])
+    assert last["tol_img_per_sec"] == 90.0
+
+
+def test_bench_peak_failure_keeps_safe_headline(monkeypatch, capsys):
+    """A peak attempt that raises (the wedge) costs only the upgrade: the
+    safe headline and the full record survive, the failure is recorded."""
+
+    def thr(batch, cycles, remat, profile_dir="", fused=True,
+            model="dcgan", remat_policy=None, **kw):
+        if remat_policy == bench.DEFAULT_REMAT_POLICY:
+            raise RuntimeError(
+                "RESOURCE_EXHAUSTED: TPU backend error (ResourceExhausted)."
+            )
+        return 90.0
+
+    monkeypatch.setattr(bench, "_bench_throughput", thr)
+    for var in ("BENCH_E2E", "BENCH_DENSENET", "BENCH_DENSENET_5000",
+                "BENCH_PAPER_8000", "BENCH_TOL", "BENCH_INCEPTION",
+                "BENCH_PARITY"):
+        monkeypatch.setenv(var, "0")
+    monkeypatch.setenv("BENCH_SMALL_BATCH", "0")
+    monkeypatch.setenv("BENCH_TIME_BUDGET", "3600")
+    monkeypatch.delenv("BENCH_REMAT_POLICY", raising=False)
+    bench.main()
+    last = _json_lines(capsys)[-1]
+    assert last["value"] == 90.0  # safe headline retained
+    assert last["remat_policy"] == bench.DEFAULT_REMAT_POLICY_LARGE
+    assert "RESOURCE_EXHAUSTED" in last["headline_peak_error"]
+
+
+def test_bench_explicit_policy_pins_headline_no_peak(monkeypatch, capsys):
+    """BENCH_REMAT_POLICY pins the headline policy outright (explicit user
+    choice) — no separate peak phase runs."""
+    seen = []
+
+    def thr(batch, cycles, remat, profile_dir="", fused=True,
+            model="dcgan", remat_policy=None, **kw):
+        seen.append(remat_policy)
+        return 77.0
+
+    monkeypatch.setattr(bench, "_bench_throughput", thr)
+    for var in ("BENCH_E2E", "BENCH_DENSENET", "BENCH_DENSENET_5000",
+                "BENCH_PAPER_8000", "BENCH_TOL", "BENCH_INCEPTION",
+                "BENCH_PARITY"):
+        monkeypatch.setenv(var, "0")
+    monkeypatch.setenv("BENCH_SMALL_BATCH", "0")
+    monkeypatch.setenv("BENCH_REMAT_POLICY", "")  # full recompute
+    bench.main()
+    last = _json_lines(capsys)[-1]
+    assert last["value"] == 77.0 and last["remat_policy"] == ""
+    assert seen == [""]  # one measurement, no peak phase
+    assert "headline_peak_error" not in last
+    assert "headline_peak_skipped" not in last
