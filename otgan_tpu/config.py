@@ -177,6 +177,16 @@ class TrainConfig:
     # on a single device (overriding use_pallas) and the collective
     # while_loop in the sharded matcher on meshes.
     sinkhorn_tol: float = 0.0
+    # matmul precision for the matching path (cost matrices AND the matched-
+    # feature matmuls; Sinkhorn iterations are matmul-free). On TPU float32
+    # matmuls run on the MXU as multi-pass bf16 decompositions: "highest"
+    # (default) is the full-accuracy path the invariants assume, "high" the
+    # 3-pass variant at roughly 2x matmul throughput with ~1e-6-class
+    # relative cost error (lam=500 amplifies it 500x in the Sinkhorn
+    # logits — measured deltas in docs/DESIGN.md section 7), "default" a
+    # single bf16 pass (f32 accumulate; too coarse for the matched features
+    # — exposed for measurement only). Model compute is unaffected.
+    matching_precision: str = "highest"
     # numerics sanitizer: raise on the first NaN produced by any jitted
     # computation (jax_debug_nans) — the "race detector" analog for SPMD math
     debug_nans: bool = False

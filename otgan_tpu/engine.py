@@ -23,7 +23,11 @@ from otgan_tpu.config import TrainConfig
 from otgan_tpu.models import get_model
 from otgan_tpu.nn.ema import ema_init, ema_update
 from otgan_tpu.nn.optim import make_optimizer
-from otgan_tpu.ops.costs import cosine_cost, scaled_sqeuclidean_cost
+from otgan_tpu.ops.costs import (
+    cosine_cost,
+    resolve_precision,
+    scaled_sqeuclidean_cost,
+)
 from otgan_tpu.ops.losses import med_discriminator_loss, med_generator_loss
 from otgan_tpu.ops.matching import (
     MatchedFeatures,
@@ -72,6 +76,13 @@ class Engine:
             )
         self.cost_fn = (
             scaled_sqeuclidean_cost if cfg.model == "toy_mlp" else cosine_cost
+        )
+        # --matching_precision: validate eagerly; "highest" maps to None,
+        # the matchers' historical default path (byte-identical programs)
+        resolve_precision(cfg.matching_precision)
+        self._matching_precision = (
+            None if cfg.matching_precision == "highest"
+            else cfg.matching_precision
         )
         self._matcher = self._make_matcher()
         if cfg.grad_accum > 1:
@@ -164,6 +175,7 @@ class Engine:
             cost_fn=self.cost_fn,
             use_pallas=use_pallas,
             tol=cfg.sinkhorn_tol,
+            precision=self._matching_precision,
         )
 
     def auto_layout_estimate(self, feature_dim: int) -> dict:
@@ -286,6 +298,7 @@ class Engine:
             cost_fn=self.cost_fn,
             tol=cfg.sinkhorn_tol,
             use_pallas=cfg.use_pallas,
+            precision=self._matching_precision,
         )
     # -- init (replaces the init pass at train.py:52-56, but actually
     #    executes the data-dependent init; see SURVEY.md section 3.1 step 8) --

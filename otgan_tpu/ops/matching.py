@@ -33,10 +33,23 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
-from otgan_tpu.ops.costs import cosine_cost, scaled_sqeuclidean_cost
+from otgan_tpu.ops.costs import (
+    cosine_cost,
+    resolve_precision,
+    scaled_sqeuclidean_cost,
+)
 from otgan_tpu.ops.sinkhorn import sinkhorn_assignment
 
 _PRECISION = jax.lax.Precision.HIGHEST
+
+
+def _with_precision(cost_fn: Callable, precision) -> Callable:
+    """Bind an explicit matmul precision into ``cost_fn``. ``None`` (the
+    default everywhere) returns ``cost_fn`` unchanged so custom two-argument
+    cost functions keep working and the default path stays byte-identical."""
+    if precision is None:
+        return cost_fn
+    return functools.partial(cost_fn, precision=resolve_precision(precision))
 
 
 class MatchedFeatures(NamedTuple):
@@ -54,17 +67,23 @@ class MatchedFeatures(NamedTuple):
     entropy: jax.Array  # scalar, mean row entropy of the soft assignments
 
 
-def _mm(p: jax.Array, f: jax.Array) -> jax.Array:
-    return jnp.matmul(p, f, precision=_PRECISION)
+def _mm(p: jax.Array, f: jax.Array, precision=None) -> jax.Array:
+    return jnp.matmul(
+        p, f, precision=_PRECISION if precision is None else precision
+    )
 
 
 def two_batch_costs(
-    features_a: jax.Array, features_b: jax.Array, cost_fn: Callable = cosine_cost
+    features_a: jax.Array,
+    features_b: jax.Array,
+    cost_fn: Callable = cosine_cost,
+    precision=None,
 ) -> jax.Array:
     """The two-batch mode's 6 stacked cost matrices in reference order:
     a1a2, b2b1, a1b1, a1b2, a2b1, a2b2 (``utils/matching.py:41-43``).
     Exposed for diagnostics (e.g. the bench's --sinkhorn_tol quality
     probe) so callers never re-derive the half-split/order convention."""
+    cost_fn = _with_precision(cost_fn, precision)
     n = features_a.shape[0] // 2
     fa1, fa2 = features_a[:n], features_a[n:]
     fb1, fb2 = features_b[:n], features_b[n:]
@@ -81,7 +100,10 @@ def two_batch_costs(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("lam", "n_iters", "cost_fn", "use_pallas", "tol")
+    jax.jit,
+    static_argnames=(
+        "lam", "n_iters", "cost_fn", "use_pallas", "tol", "precision"
+    ),
 )
 def match_two_batch(
     features_a: jax.Array,
@@ -91,6 +113,7 @@ def match_two_batch(
     cost_fn: Callable = cosine_cost,
     use_pallas: bool = False,
     tol: float = 0.0,
+    precision: str | None = None,
 ) -> MatchedFeatures:
     """Two-batch MED matching (reference ``get_matched_features``).
 
@@ -109,7 +132,8 @@ def match_two_batch(
     fa1, fa2 = features_a[:n], features_a[n:]
     fb1, fb2 = features_b[:n], features_b[n:]
 
-    costs = two_batch_costs(features_a, features_b, cost_fn)
+    prec = None if precision is None else resolve_precision(precision)
+    costs = two_batch_costs(features_a, features_b, cost_fn, precision)
     p, ent = sinkhorn_assignment(
         costs, lam, n_iters, use_pallas=use_pallas, tol=tol
     )
@@ -117,25 +141,29 @@ def match_two_batch(
 
     # 12 matched-feature matmuls (utils/matching.py:64-75), recombined into 4
     # global outputs (|| = concat along the batch axis, halves in order).
-    a_a = jnp.concatenate([_mm(p_a1a2, fa2), _mm(p_a1a2.T, fa1)])
-    b_b = jnp.concatenate([_mm(p_b2b1.T, fb2), _mm(p_b2b1, fb1)])
+    mm = functools.partial(_mm, precision=prec)
+    a_a = jnp.concatenate([mm(p_a1a2, fa2), mm(p_a1a2.T, fa1)])
+    b_b = jnp.concatenate([mm(p_b2b1.T, fb2), mm(p_b2b1, fb1)])
     a_b = 0.5 * jnp.concatenate(
         [
-            _mm(p_a1b1, fb1) + _mm(p_a1b2, fb2),
-            _mm(p_a2b1, fb1) + _mm(p_a2b2, fb2),
+            mm(p_a1b1, fb1) + mm(p_a1b2, fb2),
+            mm(p_a2b1, fb1) + mm(p_a2b2, fb2),
         ]
     )
     b_a = 0.5 * jnp.concatenate(
         [
-            _mm(p_a1b1.T, fa1) + _mm(p_a2b1.T, fa2),
-            _mm(p_a1b2.T, fa1) + _mm(p_a2b2.T, fa2),
+            mm(p_a1b1.T, fa1) + mm(p_a2b1.T, fa2),
+            mm(p_a1b2.T, fa1) + mm(p_a2b2.T, fa2),
         ]
     )
     return MatchedFeatures(a_a, b_b, a_b, b_a, jnp.mean(ent))
 
 
 @functools.partial(
-    jax.jit, static_argnames=("lam", "n_iters", "cost_fn", "use_pallas", "tol")
+    jax.jit,
+    static_argnames=(
+        "lam", "n_iters", "cost_fn", "use_pallas", "tol", "precision"
+    ),
 )
 def match_single_batch(
     features_a: jax.Array,
@@ -145,6 +173,7 @@ def match_single_batch(
     cost_fn: Callable = cosine_cost,
     use_pallas: bool = False,
     tol: float = 0.0,
+    precision: str | None = None,
 ) -> MatchedFeatures:
     """Single-batch matching (reference ``get_matched_features_single_batch``).
 
@@ -152,12 +181,14 @@ def match_single_batch(
     transported to itself (``utils/matching.py:109-110``).
     """
     B = features_a.shape[0]
+    prec = None if precision is None else resolve_precision(precision)
+    cf = _with_precision(cost_fn, precision)
     eye = 999.0 * jnp.eye(B, dtype=jnp.float32)
     costs = jnp.stack(
         [
-            cost_fn(features_a, features_a) + eye,
-            cost_fn(features_b, features_b) + eye,
-            cost_fn(features_a, features_b),
+            cf(features_a, features_a) + eye,
+            cf(features_b, features_b) + eye,
+            cf(features_a, features_b),
         ]
     )
     p, ent = sinkhorn_assignment(
@@ -165,10 +196,10 @@ def match_single_batch(
     )
     p_aa, p_bb, p_ab = p
 
-    a_a = _mm(p_aa, features_a)
-    b_b = _mm(p_bb, features_b)
-    a_b = _mm(p_ab, features_b)
-    b_a = _mm(p_ab.T, features_a)
+    a_a = _mm(p_aa, features_a, prec)
+    b_b = _mm(p_bb, features_b, prec)
+    a_b = _mm(p_ab, features_b, prec)
+    b_a = _mm(p_ab.T, features_a, prec)
     return MatchedFeatures(a_a, b_b, a_b, b_a, jnp.mean(ent))
 
 

@@ -48,8 +48,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from otgan_tpu.ops.costs import cosine_cost
 from otgan_tpu.ops.matching import MatchedFeatures
 from otgan_tpu.ops.sinkhorn import sinkhorn_assignment
-
-_PRECISION = jax.lax.Precision.HIGHEST
+from otgan_tpu.parallel.matching_sharded import _bind_precision
 
 
 def _owner_counts(n_mats: int, n_dev: int):
@@ -62,10 +61,6 @@ def _owner_counts(n_mats: int, n_dev: int):
     return rounds, [len(range(m, total, n_mats)) for m in range(n_mats)]
 
 
-def _mm(a, b):
-    return jnp.matmul(a, b, precision=_PRECISION)
-
-
 def make_matrix_parallel_two_batch_matcher(
     mesh: Mesh,
     lam: float,
@@ -74,12 +69,15 @@ def make_matrix_parallel_two_batch_matcher(
     axis_name: str = "data",
     tol: float = 0.0,
     use_pallas: bool = False,
+    precision: str | None = None,
 ):
     """Jitted ``(features_a, features_b) -> MatchedFeatures`` with the 6
     two-batch matrices (reference order a1a2, b2b1, a1b1, a1b2, a2b1, a2b2,
     ``utils/matching.py:41-43``) sharded whole across the mesh."""
     n_dev = mesh.devices.size
     rounds, counts = _owner_counts(6, n_dev)
+    cost_fn, mm_precision = _bind_precision(cost_fn, precision)
+    _mm = functools.partial(jnp.matmul, precision=mm_precision)
 
     def build(B: int, b_pad: int):
         n = B // 2  # half size; matrices are (n, n)
@@ -203,12 +201,15 @@ def make_matrix_parallel_single_batch_matcher(
     axis_name: str = "data",
     tol: float = 0.0,
     use_pallas: bool = False,
+    precision: str | None = None,
 ):
     """Single-batch variant (reference ``get_matched_features_single_batch``,
     ``utils/matching.py:88-136``): 3 matrices (a·a and b·b with the +999
     self-match diagonal, a·b), each solved whole on its owner chip(s)."""
     n_dev = mesh.devices.size
     rounds, counts = _owner_counts(3, n_dev)
+    cost_fn, mm_precision = _bind_precision(cost_fn, precision)
+    _mm = functools.partial(jnp.matmul, precision=mm_precision)
 
     def build(B: int, b_pad: int):
         def local(fa_loc, fb_loc):

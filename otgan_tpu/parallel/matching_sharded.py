@@ -51,10 +51,20 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
-from otgan_tpu.ops.costs import cosine_cost
+from otgan_tpu.ops.costs import cosine_cost, resolve_precision
 from otgan_tpu.ops.matching import MatchedFeatures
 
 _PRECISION = jax.lax.Precision.HIGHEST
+
+
+def _bind_precision(cost_fn: Callable, precision):
+    """Resolve the ``--matching_precision`` knob for a matcher builder:
+    returns ``(cost_fn, matmul_precision)``. ``None`` keeps the historical
+    always-HIGHEST behavior and leaves custom 2-arg cost functions intact."""
+    if precision is None:
+        return cost_fn, _PRECISION
+    p = resolve_precision(precision)
+    return functools.partial(cost_fn, precision=p), p
 
 
 def _local_step_xla(x_loc: jax.Array, v: jax.Array):
@@ -263,6 +273,7 @@ def make_sharded_two_batch_matcher(
     axis_name: str = "data",
     tol: float = 0.0,
     use_pallas: bool = False,
+    precision: str | None = None,
 ):
     """Build a jitted ``(features_a, features_b) -> MatchedFeatures`` over a
     1-D mesh. Inputs are global (B, d) arrays sharded (or shardable) on the
@@ -277,6 +288,7 @@ def make_sharded_two_batch_matcher(
     (global batch 5000 = 625 x 8, ``train.py:16,23``) runs row-sharded."""
 
     n_dev = mesh.devices.size
+    cost_fn, mm_precision = _bind_precision(cost_fn, precision)
 
     def build(n_valid: int | None):
         """shard_map'd local body; ``n_valid`` = real rows per batch half
@@ -325,7 +337,7 @@ def make_sharded_two_batch_matcher(
             )
             p_a1a2, p_b2b1, p_a1b1, p_a1b2, p_a2b1, p_a2b2 = p
 
-            mm = lambda a, b: jnp.matmul(a, b, precision=_PRECISION)
+            mm = lambda a, b: jnp.matmul(a, b, precision=mm_precision)
 
             # direct matmuls: local rows x gathered features. Pad rows of
             # the gathered features are zeros and real rows of p put
@@ -423,6 +435,7 @@ def make_sharded_single_batch_matcher(
     axis_name: str = "data",
     tol: float = 0.0,
     use_pallas: bool = False,
+    precision: str | None = None,
 ):
     """Row-sharded single-batch matcher (reference
     ``get_matched_features_single_batch``, ``utils/matching.py:88-136``):
@@ -433,6 +446,7 @@ def make_sharded_single_batch_matcher(
     ``[[C, 999], [999, 0]]`` construction and outputs are sliced back."""
 
     n_dev = mesh.devices.size
+    cost_fn, mm_precision = _bind_precision(cost_fn, precision)
 
     def build(n_valid: int | None):
         def local(fa_loc, fb_loc):
@@ -471,7 +485,7 @@ def make_sharded_single_batch_matcher(
             )
             p_aa, p_bb, p_ab = p
 
-            mm = lambda a, b: jnp.matmul(a, b, precision=_PRECISION)
+            mm = lambda a, b: jnp.matmul(a, b, precision=mm_precision)
             a_a = mm(p_aa, fa)
             b_b = mm(p_bb, fb)
             a_b = mm(p_ab, fb)
