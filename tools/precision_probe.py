@@ -80,8 +80,17 @@ def probe_e2e():
     from otgan_tpu.engine import Engine
 
     cycles = int(os.environ.get("OTGAN_PROBE_CYCLES", "3"))
+    # variants: comma-separated "precision:tol" pairs (tol 0 = exact 500
+    # iters). OTGAN_PROBE_VARIANTS="highest:0,high:0,high:1e-3" measures
+    # the knob-composition story in ONE process (wedge-risk hygiene).
+    variants = [
+        (v.split(":")[0], float(v.split(":")[1]) if ":" in v else 0.0)
+        for v in os.environ.get(
+            "OTGAN_PROBE_VARIANTS", "highest:0,high:0"
+        ).split(",")
+    ]
     out = {"phase": "e2e", "B": B, "cycles": cycles}
-    for prec in ("highest", "high"):
+    for prec, tol in variants:
         cfg = TrainConfig(
             batch_size=B,
             nr_gen_per_disc=5,
@@ -89,7 +98,9 @@ def probe_e2e():
             remat=True,
             remat_policy="gen_g1,disc_c4,gen_g2,disc_c3",  # SAFE 4-save
             matching_precision=prec,
+            sinkhorn_tol=tol,
         )
+        tag = prec if tol == 0 else f"{prec}_tol{tol:g}"
         eng = Engine(cfg)
         rng = np.random.default_rng(0)
         x = jnp.asarray(
@@ -106,16 +117,18 @@ def probe_e2e():
             times.append(time.perf_counter() - t0)
         times.sort()
         sec = times[len(times) // 2]
-        out[f"{prec}_sec_per_cycle"] = round(sec, 3)
-        out[f"{prec}_img_per_sec"] = round(6 * B / sec, 1)
-        out[f"{prec}_dist"] = float(met.dist[-1])
+        out[f"{tag}_sec_per_cycle"] = round(sec, 3)
+        out[f"{tag}_img_per_sec"] = round(6 * B / sec, 1)
+        out[f"{tag}_dist"] = float(met.dist[-1])
+        print(json.dumps(out), flush=True)  # incremental (last-line-wins)
         del eng, state, met
         import gc
 
         gc.collect()
-    out["e2e_speedup"] = round(
-        out["highest_sec_per_cycle"] / out["high_sec_per_cycle"], 3
-    )
+    if "highest_sec_per_cycle" in out and "high_sec_per_cycle" in out:
+        out["e2e_speedup"] = round(
+            out["highest_sec_per_cycle"] / out["high_sec_per_cycle"], 3
+        )
     print(json.dumps(out), flush=True)
 
 
