@@ -363,8 +363,18 @@ def train(cfg: TrainConfig) -> TrainState:
 
     step_counter = int(np.asarray(state.step))
     # per-run record of which matcher path engages (e.g. "padded halves"
-    # for the reference's 5000-on-8 config) — VERDICT r2 weak #3
-    logger.log(step_counter, matcher=engine.matcher_desc)
+    # for the reference's 5000-on-8 config) — VERDICT r2 weak #3 — and,
+    # when the opt-in precision knob is active, which matmul lowering the
+    # matching ran with (accuracy provenance for the run's metrics)
+    logger.log(
+        step_counter,
+        matcher=engine.matcher_desc,
+        **(
+            {"matching_precision": cfg.matching_precision}
+            if cfg.matching_precision != "highest"
+            else {}
+        ),
+    )
     # reference running-max over raw+EMA inception scores (train.py:264-272)
     max_inception_score, max_inception_epoch = float("-inf"), -1
     mean_dist_gen, mean_dist_disc = [], []
