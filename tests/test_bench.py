@@ -170,7 +170,7 @@ def test_bench_emits_incremental_json_supersets(monkeypatch, capsys):
     _patch_sections(monkeypatch)
     for var in ("BENCH_E2E", "BENCH_DENSENET", "BENCH_DENSENET_5000",
                 "BENCH_PAPER_8000", "BENCH_TOL", "BENCH_INCEPTION",
-                "BENCH_PARITY"):
+                "BENCH_PARITY", "BENCH_PRECISION"):
         monkeypatch.setenv(var, "1")
     monkeypatch.setenv("BENCH_TIME_BUDGET", "3600")
     bench.main()
@@ -190,6 +190,7 @@ def test_bench_emits_incremental_json_supersets(monkeypatch, capsys):
     assert last["densenet_5000_img_per_sec"] == 100.0
     assert last["paper_8000_img_per_sec"] == 100.0
     assert last["tol_img_per_sec"] == 100.0
+    assert last["precision_high_img_per_sec"] == 100.0
     assert last["inception_eval_img_per_sec"] == 50000.0
     assert last["small_batch_img_per_sec"] == 100.0
     assert last["parity_vmem_768"] == 0.0
