@@ -55,6 +55,19 @@ def test_cost_fn_precision_kwarg_matches_default_on_cpu():
         )
 
 
+def test_default_lowering_still_pins_highest_precision():
+    """Invariant guard (CLAUDE.md): with the knob unset, the cost matmul
+    must still lower with HIGHEST precision — the reference-parity
+    configuration every measured table and parity test assumes."""
+    fa, fb = _features(6, n=8, d=8), _features(7, n=8, d=8)
+    txt = jax.jit(cosine_cost).lower(fa, fb).as_text()
+    assert "HIGHEST" in txt, txt
+    hi = jax.jit(
+        lambda a, b: cosine_cost(a, b, precision="high")
+    ).lower(fa, fb).as_text()
+    assert "HIGHEST" not in hi  # the knob actually changes the lowering
+
+
 def _toy_cfg(**kw):
     base = dict(
         model="toy_mlp",
